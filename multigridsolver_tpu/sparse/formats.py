@@ -1,0 +1,212 @@
+"""Sparse matrix containers for the TPU-native AGMG framework.
+
+Design notes (TPU-first, not a port):
+
+The reference (mishraiiit/MultiGridSolver) keeps matrices in CSR/CSC with
+per-row pointer arrays and does per-row *sequential* work inside CUDA threads
+(e.g. ``src/GPU_CUDAC++/MatrixIO.cu:32-58`` defines ``MatrixCSR``/``MatrixCSC``
+structs with ``int* i/j`` + ``float* val``).  On TPU there are no per-lane
+pointers or atomics: the natural layout is a *fixed-width padded ELL* block —
+``cols``/``vals`` of shape ``(n_padded, K)`` — so every per-row computation
+(row sums, strength-of-connection, neighbour argmin, SpMV) becomes a dense
+``(n, K)`` vectorised VPU operation with static shapes that XLA can tile.
+
+Three containers:
+
+* :class:`COO` — host-side interchange (Matrix Market is 1-based COO;
+  see ``src/common/MatrixIO.cpp:12-37``).  numpy arrays.
+* :class:`CSR` — host-side canonical compressed form used for conversions,
+  scipy cross-checks and the native C++ runtime boundary.  numpy arrays.
+* :class:`ELL` — the device-resident compute format (JAX pytree).  Rows are
+  padded to a static width ``K``; invalid slots have ``col = 0, val = 0`` and
+  are masked via the per-row ``rownnz`` counts (explicit stored zeros are
+  legal in the inputs — e.g. ``matrices/poisson10000grid.mtx`` stores ``0``
+  values — so validity must not be inferred from ``val != 0``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class COO:
+    """Host-side coordinate format (0-based)."""
+
+    row: np.ndarray  # (nnz,) int
+    col: np.ndarray  # (nnz,) int
+    val: np.ndarray  # (nnz,) float
+    shape: tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.row.shape[0])
+
+    def to_csr(self) -> "CSR":
+        """Sort by (row, col), merge duplicates by summation (MM semantics)."""
+        n, m = self.shape
+        order = np.lexsort((self.col, self.row))
+        r, c, v = self.row[order], self.col[order], self.val[order]
+        if len(r) > 0:
+            # merge duplicate (r, c) entries by summing, keeping first position
+            key_changed = np.empty(len(r), dtype=bool)
+            key_changed[0] = True
+            key_changed[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+            group = np.cumsum(key_changed) - 1
+            nv = np.zeros(group[-1] + 1, dtype=v.dtype)
+            np.add.at(nv, group, v)
+            keep = np.flatnonzero(key_changed)
+            r, c, v = r[keep], c[keep], nv
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, r + 1, 1)
+        indptr = np.cumsum(indptr)
+        return CSR(indptr=indptr.astype(np.int64), indices=c.astype(np.int64),
+                   data=v, shape=(n, m))
+
+
+@dataclass
+class CSR:
+    """Host-side CSR with rows sorted by column (canonical)."""
+
+    indptr: np.ndarray   # (n+1,)
+    indices: np.ndarray  # (nnz,)
+    data: np.ndarray     # (nnz,)
+    shape: tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    def rownnz(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def to_coo(self) -> COO:
+        row = np.repeat(np.arange(self.nrows, dtype=np.int64), self.rownnz())
+        return COO(row=row, col=self.indices.copy(), val=self.data.copy(),
+                   shape=self.shape)
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=self.data.dtype)
+        coo = self.to_coo()
+        np.add.at(out, (coo.row, coo.col), coo.val)
+        return out
+
+    def transpose(self) -> "CSR":
+        coo = self.to_coo()
+        return COO(row=coo.col, col=coo.row, val=coo.val,
+                   shape=(self.shape[1], self.shape[0])).to_csr()
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        return sp.csr_matrix((self.data, self.indices, self.indptr),
+                             shape=self.shape)
+
+    @staticmethod
+    def from_scipy(m) -> "CSR":
+        m = m.tocsr()
+        m.sort_indices()
+        return CSR(indptr=m.indptr.astype(np.int64),
+                   indices=m.indices.astype(np.int64),
+                   data=np.asarray(m.data), shape=m.shape)
+
+    def to_ell(self, k: int | None = None, row_pad: int = 8,
+               dtype=jnp.float32) -> "ELL":
+        """Pack into the padded ELL device format.
+
+        ``k`` defaults to the max row degree; rows are padded to a multiple
+        of ``row_pad`` (TPU sublane size) so all device shapes stay aligned.
+        """
+        n, m = self.shape
+        counts = self.rownnz()
+        kmax = int(counts.max()) if n > 0 and self.nnz > 0 else 1
+        if k is None:
+            k = max(kmax, 1)
+        if kmax > k:
+            raise ValueError(f"row degree {kmax} exceeds requested width {k}")
+        n_pad = max(_round_up(n, row_pad), row_pad)
+        cols = np.zeros((n_pad, k), dtype=np.int32)
+        vals = np.zeros((n_pad, k), dtype=np.float64)
+        # slot index of each nnz within its row
+        slot = np.arange(self.nnz, dtype=np.int64) - np.repeat(
+            self.indptr[:-1], counts)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cols[rows, slot] = self.indices
+        vals[rows, slot] = self.data
+        rownnz = np.zeros((n_pad,), dtype=np.int32)
+        rownnz[:n] = counts
+        return ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals, dtype=dtype),
+                   rownnz=jnp.asarray(rownnz), nrows=n, ncols=m)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["cols", "vals", "rownnz"],
+         meta_fields=["nrows", "ncols"])
+@dataclass
+class ELL:
+    """Device-resident padded ELL sparse matrix (JAX pytree).
+
+    ``cols``/``vals``: ``(n_padded, K)``; slot ``s`` of row ``i`` is valid iff
+    ``s < rownnz[i]``.  Invalid slots hold ``col=0, val=0`` so SpMV needs no
+    masking.  ``nrows``/``ncols`` are the *logical* (unpadded) dimensions and
+    are static metadata.
+    """
+
+    cols: jnp.ndarray    # (n_pad, K) int32
+    vals: jnp.ndarray    # (n_pad, K) float
+    rownnz: jnp.ndarray  # (n_pad,) int32
+    nrows: int
+    ncols: int
+
+    @property
+    def k(self) -> int:
+        return self.cols.shape[1]
+
+    @property
+    def npad(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return int(jnp.sum(self.rownnz))
+
+    def slot_mask(self) -> jnp.ndarray:
+        """(n_pad, K) bool — True for valid (stored) slots."""
+        k = self.cols.shape[1]
+        sl = jax.lax.broadcasted_iota(jnp.int32, (self.npad, k), 1)
+        return sl < self.rownnz[:, None]
+
+    def row_mask(self) -> jnp.ndarray:
+        """(n_pad,) bool — True for logical (unpadded) rows."""
+        ri = jax.lax.broadcasted_iota(jnp.int32, (self.npad, 1), 0)[:, 0]
+        return ri < self.nrows
+
+    def to_csr(self) -> CSR:
+        """Host-side conversion back to CSR (drops padding)."""
+        cols = np.asarray(self.cols)[: self.nrows]
+        vals = np.asarray(self.vals, dtype=np.float64)[: self.nrows]
+        counts = np.asarray(self.rownnz)[: self.nrows].astype(np.int64)
+        k = cols.shape[1]
+        valid = np.arange(k)[None, :] < counts[:, None]
+        rows = np.repeat(np.arange(self.nrows, dtype=np.int64), counts)
+        return COO(row=rows, col=cols[valid].astype(np.int64),
+                   val=vals[valid], shape=(self.nrows, self.ncols)).to_csr()
+
+    def astype(self, dtype) -> "ELL":
+        return dataclasses.replace(self, vals=self.vals.astype(dtype))

@@ -1,0 +1,145 @@
+"""Sparse containers + Matrix Market I/O.
+
+Mirrors the coverage of the reference's only test binary
+(``src/GPU_CUDAC++/test_matrix_operations.cu``): .mtx read, format
+round-trips, element access — against the same ``SmallTestMatrix.mtx``
+fixture plus property tests vs scipy.
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from multigridsolver_tpu.io import read_mtx, read_mtx_coo, write_mtx
+from multigridsolver_tpu.sparse.formats import COO, CSR
+
+from conftest import reference_matrix_path
+
+
+def random_csr(rng, n=37, m=41, density=0.15):
+    a = sp.random(n, m, density=density, random_state=np.random.RandomState(7),
+                  format="csr")
+    a.sort_indices()
+    return CSR.from_scipy(a)
+
+
+class TestMTXRead:
+    def test_small_fixture_exact(self, small_test_matrix):
+        a = small_test_matrix
+        assert a.shape == (9, 10)
+        assert a.nnz == 17
+        d = a.to_dense()
+        # first entries of the file: (1,1)=1 (1,3)=2 (1,4)=3 (1-based)
+        assert d[0, 0] == 1.0
+        assert d[0, 2] == 2.0
+        assert d[0, 3] == 3.0
+        # all values are the integers 1..17 (hand-written fixture)
+        assert sorted(a.data.tolist()) == list(range(1, 18))
+
+    def test_against_scipy_mmread(self):
+        import scipy.io as sio
+        for name in ["SmallTestMatrix.mtx", "CSky2d10.mtx",
+                     "poisson10000promatrix.mtx"]:
+            path = reference_matrix_path(name)
+            ours = read_mtx(path)
+            ref = sp.csr_matrix(sio.mmread(path))
+            ref.sort_indices()
+            assert ours.shape == ref.shape
+            np.testing.assert_array_equal(ours.indptr, ref.indptr)
+            np.testing.assert_array_equal(ours.indices, ref.indices)
+            np.testing.assert_allclose(ours.data, ref.data)
+
+    def test_python_fallback_matches_native(self):
+        path = reference_matrix_path("CSky2d10.mtx")
+        a = read_mtx_coo(path, use_native=False)
+        b = read_mtx_coo(path, use_native=True)
+        np.testing.assert_array_equal(a.row, b.row)
+        np.testing.assert_array_equal(a.col, b.col)
+        np.testing.assert_allclose(a.val, b.val)
+
+    def test_duplicates_summed(self, tmp_path):
+        p = tmp_path / "dup.mtx"
+        p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                     "2 2 3\n1 1 1.5\n1 1 2.5\n2 1 -1.0\n")
+        a = read_mtx(str(p))
+        d = a.to_dense()
+        np.testing.assert_allclose(d, [[4.0, 0.0], [-1.0, 0.0]])
+
+    def test_single_percent_header(self, tmp_path):
+        # src/common/poisson.cpp:10 emits a single-% header
+        p = tmp_path / "single.mtx"
+        p.write_text("%MatrixMarket matrix coordinate real general\n"
+                     "1 1 1\n1 1 4\n")
+        a = read_mtx(str(p))
+        assert a.to_dense()[0, 0] == 4.0
+
+
+class TestMTXWrite:
+    def test_roundtrip(self, tmp_path, rng):
+        a = random_csr(rng)
+        path = str(tmp_path / "rt.mtx")
+        write_mtx(path, a)
+        b = read_mtx(path)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a.indptr, b.indptr)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_allclose(a.data, b.data, rtol=0, atol=0)
+
+
+class TestCSR:
+    def test_coo_csr_roundtrip(self, rng):
+        a = random_csr(rng)
+        b = a.to_coo().to_csr()
+        np.testing.assert_array_equal(a.indptr, b.indptr)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_allclose(a.data, b.data)
+
+    def test_transpose_vs_scipy(self, rng):
+        a = random_csr(rng)
+        at = a.transpose()
+        ref = CSR.from_scipy(a.to_scipy().T.tocsr())
+        np.testing.assert_array_equal(at.indptr, ref.indptr)
+        np.testing.assert_array_equal(at.indices, ref.indices)
+        np.testing.assert_allclose(at.data, ref.data)
+
+    def test_dense_vs_scipy(self, small_test_matrix):
+        np.testing.assert_allclose(small_test_matrix.to_dense(),
+                                   small_test_matrix.to_scipy().toarray())
+
+
+class TestELL:
+    def test_roundtrip_preserves_matrix(self, small_test_matrix):
+        ell = small_test_matrix.to_ell(dtype=np.float64)
+        back = ell.to_csr()
+        np.testing.assert_array_equal(back.indptr, small_test_matrix.indptr)
+        np.testing.assert_array_equal(back.indices, small_test_matrix.indices)
+        np.testing.assert_allclose(back.data, small_test_matrix.data)
+
+    def test_padding_alignment(self, small_test_matrix):
+        ell = small_test_matrix.to_ell(row_pad=8)
+        assert ell.npad % 8 == 0
+        assert ell.nrows == 9
+        assert int(np.sum(np.asarray(ell.rownnz))) == small_test_matrix.nnz
+
+    def test_explicit_zeros_kept(self, tmp_path):
+        # poisson10000grid.mtx stores explicit zero values; the slot mask,
+        # not the value, defines validity.
+        p = tmp_path / "z.mtx"
+        p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                     "2 2 3\n1 1 0\n1 2 5\n2 2 1\n")
+        a = read_mtx(str(p))
+        ell = a.to_ell(dtype=np.float64)
+        assert ell.to_csr().nnz == 3
+
+    def test_width_override_and_overflow(self, small_test_matrix):
+        ell = small_test_matrix.to_ell(k=8)
+        assert ell.k == 8
+        with pytest.raises(ValueError):
+            small_test_matrix.to_ell(k=1)
+
+    def test_is_pytree(self, small_test_matrix):
+        import jax
+        ell = small_test_matrix.to_ell()
+        leaves = jax.tree_util.tree_leaves(ell)
+        assert len(leaves) == 3
+        ell2 = jax.tree_util.tree_map(lambda x: x, ell)
+        assert ell2.nrows == ell.nrows

@@ -1,0 +1,107 @@
+"""Property tests of the jnp ELL ops against scipy/dense references."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from multigridsolver_tpu.sparse.formats import CSR
+from multigridsolver_tpu.sparse import ops
+
+
+def make(n=50, density=0.12, seed=3, nonsym=True):
+    rs = np.random.RandomState(seed)
+    a = sp.random(n, n, density=density, random_state=rs, format="csr")
+    a = a + 3.0 * sp.identity(n)
+    if not nonsym:
+        a = (a + a.T) / 2
+    a = a.tocsr()
+    a.sort_indices()
+    csr = CSR.from_scipy(a)
+    return csr, csr.to_ell(dtype=jnp.float64), a
+
+
+class TestSpMV:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_scipy(self, seed):
+        csr, ell, a = make(seed=seed)
+        x = np.random.RandomState(seed).randn(a.shape[1])
+        xpad = np.zeros(ell.npad)
+        xpad[: a.shape[1]] = x
+        y = np.asarray(ops.spmv(ell, jnp.asarray(xpad)))
+        np.testing.assert_allclose(y[: a.shape[0]], a @ x, rtol=1e-12)
+        # padded rows produce zeros
+        np.testing.assert_allclose(y[a.shape[0]:], 0.0)
+
+    def test_spmv_t(self):
+        csr, ell, a = make(seed=5)
+        y = np.random.RandomState(5).randn(ell.npad)
+        y[a.shape[0]:] = 0
+        x = np.asarray(ops.spmv_t(ell, jnp.asarray(y), ell.npad))
+        np.testing.assert_allclose(x[: a.shape[1]], a.T @ y[: a.shape[0]],
+                                   rtol=1e-12, atol=1e-12)
+
+
+class TestSums:
+    def test_diag(self):
+        csr, ell, a = make()
+        d = np.asarray(ops.extract_diag(ell))
+        np.testing.assert_allclose(d[: a.shape[0]], a.diagonal(), rtol=1e-13)
+
+    def test_row_col_sums(self):
+        csr, ell, a = make(seed=7)
+        ad = a.toarray()
+        n = a.shape[0]
+        rs = np.asarray(ops.row_sum(ell))[:n]
+        np.testing.assert_allclose(rs, ad.sum(1), rtol=1e-12)
+        rs_nd = np.asarray(ops.row_sum(ell, skip_diag=True))[:n]
+        np.testing.assert_allclose(rs_nd, ad.sum(1) - np.diag(ad), rtol=1e-12)
+        cs = np.asarray(ops.col_sum(ell))[:n]
+        np.testing.assert_allclose(cs, ad.sum(0), rtol=1e-12)
+        ra = np.asarray(ops.row_sum(ell, absolute=True))[:n]
+        np.testing.assert_allclose(ra, np.abs(ad).sum(1), rtol=1e-12)
+
+    def test_symmetrized_offdiag_sums(self):
+        """abs sum must equal Σⱼ≠ᵢ |(aij+aji)/2| over the union pattern —
+        the quantity in AGMG.cpp:48-82 / Aggregation.cu:17-58."""
+        csr, ell, a = make(seed=11, nonsym=True)
+        ad = a.toarray()
+        n = a.shape[0]
+        sym = (ad + ad.T) / 2
+        np.fill_diagonal(sym, 0.0)
+        expect_abs = np.abs(sym).sum(1)
+        expect_plain = sym.sum(1)
+        got_abs, got_plain = ops.symmetrized_offdiag_sums(ell)
+        np.testing.assert_allclose(np.asarray(got_abs)[:n], expect_abs,
+                                   rtol=1e-11, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(got_plain)[:n], expect_plain,
+                                   rtol=1e-11, atol=1e-13)
+
+
+class TestElementAccess:
+    def test_get_element_grid(self, small_test_matrix):
+        """Same positions the reference exercises in
+        test_matrix_operations.cu:119-176 — every (i,j) incl. zeros/empty
+        rows."""
+        ell = small_test_matrix.to_ell(dtype=jnp.float64)
+        dense = small_test_matrix.to_dense()
+        n, m = small_test_matrix.shape
+        ii, jj = np.meshgrid(np.arange(n), np.arange(m), indexing="ij")
+        got = np.asarray(ops.get_element(ell, jnp.asarray(ii.ravel()),
+                                         jnp.asarray(jj.ravel())))
+        np.testing.assert_allclose(got, dense.ravel())
+
+    def test_transposed_slot_values(self):
+        csr, ell, a = make(seed=13)
+        ad = a.toarray()
+        got = np.asarray(ops.transposed_slot_values(ell))
+        cols = np.asarray(ell.cols)
+        nnzr = np.asarray(ell.rownnz)
+        for i in range(a.shape[0]):
+            for s in range(ell.k):
+                if s < nnzr[i]:
+                    assert got[i, s] == pytest.approx(ad[cols[i, s], i])
+
+    def test_to_dense(self):
+        csr, ell, a = make(seed=17)
+        np.testing.assert_allclose(np.asarray(ops.to_dense(ell)), a.toarray(),
+                                   rtol=1e-13)
