@@ -1,0 +1,77 @@
+"""High-level solve API.
+
+``two_level_from_p`` reproduces the reference's solve-phase wiring
+(``src/common/bicg.cpp:138-180``): given A and an explicit prolongation
+matrix P (e.g. a shipped ``<name>promatrix_*.mtx``), build the two-level
+preconditioner and run preconditioned BiCGStab.  ``solve_hierarchy`` is the
+general multilevel entry point used with our own aggregation setup.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sparse.formats import CSR, ELL
+from ..sparse import ops
+from ..setup.prolongation import labels_from_p_csr
+from ..setup.galerkin import galerkin_ell
+from .hierarchy import Hierarchy, build_hierarchy
+from . import krylov
+
+
+def two_level_from_p(a: CSR, p: CSR, smoother_kind: str = "gs2",
+                     cycle: str = "twolevel", dtype=jnp.float32,
+                     **smoother_kw) -> Hierarchy:
+    """Two-level hierarchy from an explicit piecewise-constant P.
+
+    Mirrors ``MultiGridPrecond`` (bicg.cpp:29-44): Ac = PᵀAP factorised
+    exactly (densely here), smoother standing in for the ILUT half, combined
+    multiplicatively (pre_smooth=0, post_smooth=1 ⇒ c + S(v − A·c))."""
+    labels_np, nc = labels_from_p_csr(p)
+    a_ell = a.to_ell(dtype=dtype)
+    labels = jnp.full((a_ell.npad,), -1, dtype=jnp.int32)
+    labels = labels.at[: len(labels_np)].set(jnp.asarray(labels_np))
+    ac = galerkin_ell(a_ell, labels, nc)
+    return build_hierarchy(a_ell, [labels], [ac.astype(dtype)],
+                           smoother_kind=smoother_kind,
+                           cycle="vcycle" if cycle == "twolevel" else cycle,
+                           pre_smooth=0, post_smooth=1, **smoother_kw)
+
+
+def pad_vector(v: np.ndarray, npad: int, dtype=None) -> jnp.ndarray:
+    out = jnp.zeros((npad,), dtype=dtype or v.dtype)
+    return out.at[: v.shape[0]].set(jnp.asarray(v, dtype=dtype))
+
+
+@partial(jax.jit, static_argnames=("method", "tol", "maxiter"))
+def _solve_jit(hier: Hierarchy, b: jnp.ndarray, method: str, tol: float,
+               maxiter: int):
+    matvec = hier.matvec
+    precond = hier.precondition
+    if method == "bicgstab":
+        return krylov.bicgstab(matvec, b, precond, tol=tol, maxiter=maxiter)
+    if method == "cg":
+        return krylov.cg(matvec, b, precond, tol=tol, maxiter=maxiter)
+    if method == "fcg":
+        return krylov.fcg(matvec, b, precond, tol=tol, maxiter=maxiter)
+    if method == "none":   # unpreconditioned
+        return krylov.bicgstab(matvec, b, None, tol=tol, maxiter=maxiter)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def solve_hierarchy(hier: Hierarchy, b: np.ndarray | jnp.ndarray,
+                    method: str = "bicgstab", tol: float = 1e-6,
+                    maxiter: int = 10000) -> krylov.SolveResult:
+    """Solve A x = b with the hierarchy as right preconditioner.
+
+    ``b`` is a logical-size vector; it is zero-padded to the device shape
+    and the solution is returned un-padded."""
+    a = hier.levels[0].a if hier.levels else hier.coarse.a
+    n = a.nrows
+    bp = pad_vector(np.asarray(b), a.npad, dtype=a.vals.dtype)
+    res = _solve_jit(hier, bp, method, float(tol), int(maxiter))
+    return krylov.SolveResult(x=res.x[:n], iterations=res.iterations,
+                              relres=res.relres, status=res.status)

@@ -1,0 +1,187 @@
+"""Multigrid hierarchy and cycles.
+
+The reference is strictly two-level: exact sparse-LU of Ac plus an ILUT
+smoother, combined additively or multiplicatively
+(``src/CPU_C++/main.cpp:21-77``, ``src/common/bicg.cpp:19-62``,
+``solve.m:15-25``).  Sparse LU does not map to the TPU; the TPU-native
+design generalises to a *multilevel* hierarchy (the Fortran ground truth
+itself allows maxlev=40 — ``dagtwolev_mex.f90:101``): keep coarsening until
+the coarsest operator is small enough to LU-factorise **densely** on the
+MXU, smooth the intermediate levels, and traverse with V- or K-cycles
+(Notay's K-cycle: the recursive correction is accelerated by two steps of
+flexible CG at every level).
+
+The classic reference combination is still available: a 2-level hierarchy's
+``precondition`` with ``pre_smooth=0, post_smooth=1`` is algebraically
+exactly ``main.cpp:70-72``'s multiplicative combo  c + S(v − A·c)  with the
+smoother S standing in for ILUT.
+
+All structures are pytrees; `precondition` is pure and jittable; levels are
+unrolled statically (the level count is host-known after setup).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sparse.formats import ELL
+from ..sparse import ops
+from ..setup.prolongation import prolong, restrict
+from .smoothers import Smoother, make_smoother
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["a", "labels", "smoother"],
+         meta_fields=["nc_pad"])
+@dataclass
+class Level:
+    """One grid level: its operator, the fine→coarse labels defining P, and
+    the smoother state.  ``labels`` is (npad,) int32 with -1 for nodes kept
+    out of the coarse space (G0 nodes, AGMG.cpp:118-123)."""
+
+    a: ELL
+    labels: jnp.ndarray
+    smoother: Smoother
+    nc_pad: int
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["a", "lu", "piv"], meta_fields=[])
+@dataclass
+class CoarseSolve:
+    """Dense LU of the coarsest operator (MXU-friendly; replaces the
+    reference's Eigen SparseLU, main.cpp:47-48).  Padding rows carry an
+    identity block so the factorisation is well-posed."""
+
+    a: ELL
+    lu: jnp.ndarray
+    piv: jnp.ndarray
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        return jax.scipy.linalg.lu_solve((self.lu, self.piv), b)
+
+
+def make_coarse_solve(a: ELL) -> CoarseSolve:
+    dense = ops.to_dense(a)
+    npad = a.npad
+    full = jnp.zeros((npad, npad), dtype=a.vals.dtype)
+    full = full.at[: a.nrows, : a.ncols].set(dense)
+    # identity on padding (and on any empty all-zero rows, which would
+    # otherwise make the factorisation singular — e.g. excluded G0 rows)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (npad, 1), 0)[:, 0]
+    empty = jnp.all(full == 0.0, axis=1)
+    full = full + jnp.diag(jnp.where(empty, 1.0, 0.0).astype(a.vals.dtype))
+    lu, piv = jax.scipy.linalg.lu_factor(full)
+    return CoarseSolve(a=a, lu=lu, piv=piv)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["levels", "coarse"],
+         meta_fields=["cycle", "pre_smooth", "post_smooth", "kcycle_steps"])
+@dataclass
+class Hierarchy:
+    levels: tuple[Level, ...]
+    coarse: CoarseSolve
+    cycle: str = "vcycle"        # twolevel | vcycle | kcycle
+    pre_smooth: int = 0
+    post_smooth: int = 1
+    kcycle_steps: int = 2
+
+    @property
+    def nlevels(self) -> int:
+        return len(self.levels) + 1
+
+    def precondition(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Apply one multigrid cycle as M⁻¹ b (zero initial guess)."""
+        return _cycle(self, 0, b)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.levels:
+            return ops.spmv(self.levels[0].a, x)
+        return ops.spmv(self.coarse.a, x)
+
+
+def _coarse_correct(level: Level, hier: Hierarchy, idx: int,
+                    r: jnp.ndarray) -> jnp.ndarray:
+    rc = restrict(level.labels, r, level.nc_pad)
+    if hier.cycle == "kcycle" and idx + 1 < len(hier.levels):
+        xc = _kcycle_accel(hier, idx + 1, rc)
+    else:
+        xc = _cycle(hier, idx + 1, rc)
+    return prolong(level.labels, xc)
+
+
+def _cycle(hier: Hierarchy, idx: int, b: jnp.ndarray) -> jnp.ndarray:
+    if idx == len(hier.levels):
+        return hier.coarse.solve(b)
+    level = hier.levels[idx]
+    a = level.a
+    if hier.pre_smooth == 0:
+        # start from the coarse-grid correction of b itself — with one
+        # post-smooth this reproduces the reference's multiplicative
+        # two-level combo c + S(b − A c) (main.cpp:70-72)
+        x = _coarse_correct(level, hier, idx, b)
+    else:
+        x = level.smoother.solve(a, b)
+        for _ in range(hier.pre_smooth - 1):
+            x = level.smoother.apply(a, b, x)
+        r = b - ops.spmv(a, x)
+        x = x + _coarse_correct(level, hier, idx, r)
+    for _ in range(hier.post_smooth):
+        x = level.smoother.apply(a, b, x)
+    return x
+
+
+def _kcycle_accel(hier: Hierarchy, idx: int, b: jnp.ndarray) -> jnp.ndarray:
+    """Notay K-cycle: approximate A_idx⁻¹ b by `kcycle_steps` iterations of
+    flexible CG preconditioned with the cycle at this level.  Statically
+    unrolled (steps is 1-2 in practice)."""
+    a = hier.levels[idx].a if idx < len(hier.levels) else hier.coarse.a
+    x = jnp.zeros_like(b)
+    r = b
+    dirs: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+    for _ in range(hier.kcycle_steps):
+        z = _cycle(hier, idx, r)
+        # flexible-CG orthogonalisation against previous directions
+        p = z
+        for (pj, apj, denom) in dirs:
+            beta = jnp.vdot(apj, p) / denom
+            p = p - beta * pj
+        ap = ops.spmv(a, p)
+        denom = jnp.vdot(p, ap)
+        alpha = jnp.where(denom != 0.0, jnp.vdot(p, r) / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        dirs.append((p, ap, denom))
+    return x
+
+
+def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
+                    coarse_ops: list[ELL], smoother_kind: str = "chebyshev",
+                    cycle: str = "vcycle", pre_smooth: int = 0,
+                    post_smooth: int = 1, **smoother_kw) -> Hierarchy:
+    """Assemble a Hierarchy from setup outputs.
+
+    ``level_labels[l]``: labels taking level-l row space → level-(l+1)
+    aggregates.  ``coarse_ops[l]``: the level-(l+1) operator (so
+    ``len(coarse_ops) == len(level_labels)``).
+    """
+    mats = [a] + list(coarse_ops)
+    levels = []
+    for l, labels in enumerate(level_labels):
+        fine, coarse = mats[l], mats[l + 1]
+        lab = jnp.asarray(labels, dtype=jnp.int32)
+        if lab.shape[0] < fine.npad:
+            lab = jnp.concatenate([
+                lab, jnp.full((fine.npad - lab.shape[0],), -1, jnp.int32)])
+        sm = make_smoother(fine, kind=smoother_kind, **smoother_kw)
+        levels.append(Level(a=fine, labels=lab, smoother=sm,
+                            nc_pad=coarse.npad))
+    return Hierarchy(levels=tuple(levels),
+                     coarse=make_coarse_solve(mats[-1]),
+                     cycle=cycle, pre_smooth=pre_smooth,
+                     post_smooth=post_smooth)

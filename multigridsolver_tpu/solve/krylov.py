@@ -1,0 +1,220 @@
+"""Krylov solvers: right-preconditioned BiCGStab, CG, and flexible CG.
+
+BiCGStab follows the IML++-template formulation the reference embeds
+(``src/CPU_C++/main.cpp:89-151``, ``src/common/bicg.cpp:74-136``) including
+its status codes (0 converged, 1 max-iter, 2 ρ-breakdown, 3 ω-breakdown)
+and its convergence test ‖r‖/‖b‖ < tol with the same mid-iteration early
+exit on ‖s‖.  Implemented as a single jitted ``lax.while_loop`` so an
+entire solve is one XLA program on device — the reference instead pays a
+host round-trip per iteration.
+
+Flexible CG (FCG) is the outer method AGMG pairs with K-cycles for SPD
+problems (``solve.m:28-31`` uses pcg for the sym case).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse.formats import ELL
+from ..sparse import ops
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray   # int32
+    relres: jnp.ndarray       # achieved ‖r‖/‖b‖
+    status: jnp.ndarray       # 0 ok; 1 maxiter; 2 rho-breakdown; 3 omega=0
+
+
+def _norm(v):
+    return jnp.sqrt(jnp.vdot(v, v).real)
+
+
+def bicgstab(matvec: Callable, b: jnp.ndarray, precond: Callable | None = None,
+             x0: jnp.ndarray | None = None, tol: float = 1e-6,
+             maxiter: int = 10000) -> SolveResult:
+    """Right-preconditioned BiCGStab, semantics of main.cpp:89-151."""
+    if precond is None:
+        precond = lambda v: v
+    x = jnp.zeros_like(b) if x0 is None else x0
+    normb = _norm(b)
+    normb = jnp.where(normb == 0.0, 1.0, normb)
+    r = b - matvec(x)
+    rtilde = r
+    resid0 = _norm(r) / normb
+
+    zeros = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, b.dtype)
+
+    # state: (i, x, r, p, v, rho_2, alpha, omega, resid, status, done)
+    def cond(st):
+        return (~st["done"]) & (st["i"] <= maxiter)
+
+    def body(st):
+        i = st["i"]
+        rho_1 = jnp.vdot(rtilde, st["r"])
+
+        def on_rho_zero(st):
+            st = dict(st)
+            st["status"] = jnp.int32(2)
+            st["resid"] = _norm(st["r"]) / normb
+            st["done"] = jnp.bool_(True)
+            st["i"] = i + 1
+            return st
+
+        def main_step(st):
+            first = i == 1
+            beta = jnp.where(
+                first, 0.0,
+                (rho_1 / _nz(st["rho_2"])) * (st["alpha"] / _nz(st["omega"])))
+            p = jnp.where(first, st["r"],
+                          st["r"] + beta * (st["p"] - st["omega"] * st["v"]))
+            phat = precond(p)
+            v = matvec(phat)
+            alpha = rho_1 / _nz(jnp.vdot(rtilde, v))
+            s = st["r"] - alpha * v
+            resid_s = _norm(s) / normb
+
+            def early(st):
+                st = dict(st)
+                st["x"] = st["x"] + alpha * phat
+                st["resid"] = resid_s
+                st["status"] = jnp.int32(0)
+                st["done"] = jnp.bool_(True)
+                st["i"] = i
+                st["p"], st["v"], st["alpha"] = p, v, alpha
+                st["rho_2"] = rho_1
+                return st
+
+            def full(st):
+                shat = precond(s)
+                t = matvec(shat)
+                omega = jnp.vdot(t, s) / _nz(jnp.vdot(t, t))
+                x = st["x"] + alpha * phat + omega * shat
+                r = s - omega * t
+                resid = _norm(r) / normb
+                conv = resid < tol
+                om_zero = (omega == 0.0) & ~conv
+                st = dict(st)
+                st["x"], st["r"], st["p"], st["v"] = x, r, p, v
+                st["alpha"], st["omega"], st["rho_2"] = alpha, omega, rho_1
+                st["resid"] = resid
+                st["status"] = jnp.where(conv, jnp.int32(0),
+                                         jnp.where(om_zero, jnp.int32(3),
+                                                   st["status"]))
+                st["done"] = conv | om_zero
+                st["i"] = jnp.where(conv | om_zero, i, i + 1)
+                return st
+
+            return jax.lax.cond(resid_s < tol, early, full, st)
+
+        return jax.lax.cond(rho_1 == 0.0, on_rho_zero, main_step, st)
+
+    init = dict(i=jnp.int32(1), x=x, r=r, p=zeros, v=zeros,
+                rho_2=one, alpha=one, omega=one,
+                resid=resid0, status=jnp.int32(1), done=resid0 <= tol)
+    st = jax.lax.while_loop(cond, body, init)
+    # done=True: status set inside the loop (0/2/3).  Otherwise the loop
+    # exhausted maxiter → status 1, matching main.cpp:150.
+    status = jnp.where(st["done"], st["status"], jnp.int32(1))
+    status = jnp.where(resid0 <= tol, jnp.int32(0), status)
+    iters = jnp.where(st["done"], st["i"], jnp.int32(maxiter))
+    iters = jnp.where(resid0 <= tol, jnp.int32(0), iters)
+    return SolveResult(x=st["x"], iterations=iters, relres=st["resid"],
+                       status=status)
+
+
+def _nz(x):
+    """Guard exact-zero denominators (breakdowns are caught separately)."""
+    return jnp.where(x == 0.0, jnp.asarray(1e-300, x.dtype)
+                     if x.dtype == jnp.float64 else
+                     jnp.asarray(1e-30, x.dtype), x)
+
+
+def cg(matvec, b, precond=None, x0=None, tol: float = 1e-6,
+       maxiter: int = 10000) -> SolveResult:
+    """Standard preconditioned CG (fixed preconditioner)."""
+    if precond is None:
+        precond = lambda v: v
+    x = jnp.zeros_like(b) if x0 is None else x0
+    normb = _norm(b)
+    normb = jnp.where(normb == 0.0, 1.0, normb)
+    r = b - matvec(x)
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+
+    def cond(st):
+        return (st["resid"] >= tol) & (st["i"] < maxiter)
+
+    def body(st):
+        ap = matvec(st["p"])
+        alpha = st["rz"] / _nz(jnp.vdot(st["p"], ap))
+        x = st["x"] + alpha * st["p"]
+        r = st["r"] - alpha * ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / _nz(st["rz"])
+        return dict(i=st["i"] + 1, x=x, r=r, p=z + beta * st["p"],
+                    rz=rz_new, resid=_norm(r) / normb)
+
+    init = dict(i=jnp.int32(0), x=x, r=r, p=p, rz=rz,
+                resid=_norm(r) / normb)
+    st = jax.lax.while_loop(cond, body, init)
+    return SolveResult(x=st["x"], iterations=st["i"], relres=st["resid"],
+                       status=jnp.where(st["resid"] < tol, 0, 1).astype(jnp.int32))
+
+
+def fcg(matvec, b, precond=None, x0=None, tol: float = 1e-6,
+        maxiter: int = 10000, truncate: int = 2) -> SolveResult:
+    """Flexible CG with truncated orthogonalisation (Notay's FCG(1)/FCG(2)
+    — the recommended outer solver for K-cycle AMG on SPD systems).
+
+    Keeps the last `truncate` directions; suitable for a *variable*
+    preconditioner such as a K-cycle whose inner FCG makes M nonlinear.
+    """
+    if precond is None:
+        precond = lambda v: v
+    x = jnp.zeros_like(b) if x0 is None else x0
+    normb = _norm(b)
+    normb = jnp.where(normb == 0.0, 1.0, normb)
+    r = b - matvec(x)
+    n = b.shape[0]
+    hist_p = jnp.zeros((truncate, n), dtype=b.dtype)
+    hist_ap = jnp.zeros((truncate, n), dtype=b.dtype)
+    hist_den = jnp.ones((truncate,), dtype=b.dtype)
+    hist_ok = jnp.zeros((truncate,), dtype=bool)
+
+    def cond(st):
+        return (st["resid"] >= tol) & (st["i"] < maxiter)
+
+    def body(st):
+        z = precond(st["r"])
+        p = z
+        # orthogonalise against retained directions
+        betas = jnp.where(st["hok"],
+                          (st["hap"] @ z) / st["hden"], 0.0)
+        p = z - betas @ st["hp"]
+        ap = matvec(p)
+        den = jnp.vdot(p, ap)
+        alpha = jnp.vdot(p, st["r"]) / _nz(den)
+        x = st["x"] + alpha * p
+        r = st["r"] - alpha * ap
+        # rotate history
+        hp = jnp.roll(st["hp"], 1, axis=0).at[0].set(p)
+        hap = jnp.roll(st["hap"], 1, axis=0).at[0].set(ap)
+        hden = jnp.roll(st["hden"], 1).at[0].set(_nz(den))
+        hok = jnp.roll(st["hok"], 1).at[0].set(True)
+        return dict(i=st["i"] + 1, x=x, r=r, hp=hp, hap=hap, hden=hden,
+                    hok=hok, resid=_norm(r) / normb)
+
+    init = dict(i=jnp.int32(0), x=x, r=r, hp=hist_p, hap=hist_ap,
+                hden=hist_den, hok=hist_ok, resid=_norm(r) / normb)
+    st = jax.lax.while_loop(cond, body, init)
+    return SolveResult(x=st["x"], iterations=st["i"], relres=st["resid"],
+                       status=jnp.where(st["resid"] < tol, 0, 1).astype(jnp.int32))

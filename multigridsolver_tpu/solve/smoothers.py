@@ -1,0 +1,193 @@
+"""TPU-friendly smoothers.
+
+The reference smooths with Eigen's IncompleteLUT (droptol 1e-2,
+``src/CPU_C++/main.cpp:53-54``) / MATLAB ``ilu`` nofill (``solve.m:13``).
+Threshold-ILU factorisation and its two triangular solves are inherently
+sequential — a poor fit for the MXU/VPU.  The TPU-native replacements, all
+built on the ELL SpMV and validated by solve-iteration parity:
+
+* weighted Jacobi / l1-Jacobi (diagonal, always available),
+* Chebyshev polynomial smoothing of the Jacobi-preconditioned operator
+  (the standard parallel-AMG smoother; needs only SpMVs and a λmax
+  estimate by power iteration),
+* two-stage Gauss-Seidel: the (D+L)⁻¹ triangular solve is approximated by a
+  fixed number of Jacobi inner sweeps (cf. "Two-Stage Gauss–Seidel
+  Preconditioners and Smoothers for Krylov Solvers", arXiv:2104.01196),
+  giving GS-quality smoothing from pure SpMV primitives.
+
+All smoothers are linear operators x ← x + M⁻¹(b − A x); they are used both
+as pre/post-smoothers inside multigrid cycles and stand-ins for the
+reference's ILUT half of the two-level preconditioner
+(``main.cpp:70-75``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse.formats import ELL
+from ..sparse import ops
+
+
+def jacobi_diag(a: ELL, l1: bool = False) -> jnp.ndarray:
+    """Smoothing diagonal: plain aᵢᵢ, or the l1-Jacobi safeguard
+    dᵢ = aᵢᵢ + Σⱼ≠ᵢ|aᵢⱼ| (guaranteed convergent for any matrix)."""
+    d = ops.extract_diag(a)
+    if l1:
+        d = d + ops.row_sum(a, absolute=True, skip_diag=True) - jnp.abs(d)
+    # padded rows have d == 0; make the inverse harmless
+    return jnp.where(d != 0.0, d, 1.0)
+
+
+def jacobi_sweeps(a: ELL, d: jnp.ndarray, b: jnp.ndarray, x: jnp.ndarray,
+                  sweeps: int, omega: float) -> jnp.ndarray:
+    """x ← x + ω D⁻¹ (b − A x), repeated."""
+    dinv = 1.0 / d
+
+    def body(_, x):
+        return x + omega * dinv * (b - ops.spmv(a, x))
+
+    return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+def estimate_lmax(a: ELL, d: jnp.ndarray, iters: int = 12,
+                  seed: int = 7) -> jnp.ndarray:
+    """Power-iteration estimate of λmax(D⁻¹A) for Chebyshev bounds."""
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (a.npad,), dtype=a.vals.dtype)
+    x = jnp.where(a.row_mask(), x, 0.0)
+    dinv = 1.0 / d
+
+    def body(_, carry):
+        x, lam = carry
+        y = dinv * ops.spmv(a, x)
+        lam = jnp.linalg.norm(y)
+        return y / jnp.maximum(lam, 1e-30), lam
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (x, jnp.array(1.0, a.vals.dtype)))
+    return lam
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["d", "lmax"], meta_fields=["kind", "sweeps", "omega",
+                                                 "degree", "lmin_frac",
+                                                 "inner_sweeps"])
+@dataclass
+class Smoother:
+    """Precomputed smoother state for one level (a pytree)."""
+
+    d: jnp.ndarray        # smoothing diagonal
+    lmax: jnp.ndarray     # λmax(D⁻¹A) estimate (scalar; unused by jacobi)
+    kind: str = "chebyshev"
+    sweeps: int = 2
+    omega: float = 0.8
+    degree: int = 3
+    lmin_frac: float = 0.3
+    inner_sweeps: int = 2
+
+    def apply(self, a: ELL, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """One smoothing application: improve x for A x = b."""
+        if self.kind in ("jacobi", "l1jacobi"):
+            return jacobi_sweeps(a, self.d, b, x, self.sweeps, self.omega)
+        if self.kind == "chebyshev":
+            return chebyshev_apply(a, self.d, self.lmax, b, x,
+                                   self.degree, self.lmin_frac)
+        if self.kind == "gs2":
+            return gs2_apply(a, self.d, b, x, self.sweeps, self.inner_sweeps)
+        raise ValueError(f"unknown smoother kind {self.kind!r}")
+
+    def solve(self, a: ELL, b: jnp.ndarray) -> jnp.ndarray:
+        """M⁻¹ b (zero initial guess) — the smoother as a preconditioner."""
+        return self.apply(a, b, jnp.zeros_like(b))
+
+
+def make_smoother(a: ELL, kind: str = "chebyshev", sweeps: int = 2,
+                  omega: float = 0.8, degree: int = 3,
+                  lmin_frac: float = 0.3, inner_sweeps: int = 2,
+                  lmax_safety: float = 1.1) -> Smoother:
+    l1 = kind in ("l1jacobi", "chebyshev")
+    d = jacobi_diag(a, l1=False if kind == "jacobi" else l1)
+    if kind == "chebyshev":
+        lmax = estimate_lmax(a, d) * lmax_safety
+    else:
+        lmax = jnp.asarray(1.0, a.vals.dtype)
+    return Smoother(d=d, lmax=lmax, kind=kind, sweeps=sweeps, omega=omega,
+                    degree=degree, lmin_frac=lmin_frac,
+                    inner_sweeps=inner_sweeps)
+
+
+def chebyshev_apply(a: ELL, d: jnp.ndarray, lmax, b, x, degree: int,
+                    lmin_frac: float):
+    """Chebyshev iteration on D⁻¹A over [lmin_frac·λmax, λmax].
+
+    Standard three-term recurrence (Saad, Iterative Methods §12.3) — only
+    SpMVs and AXPYs, ideal for the VPU.
+    """
+    dinv = 1.0 / d
+    lmin = lmin_frac * lmax
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma = theta / delta
+    rho = 1.0 / sigma
+
+    r = dinv * (b - ops.spmv(a, x))
+    dx = r / theta
+    x = x + dx
+
+    def body(_, carry):
+        x, dx, rho = carry
+        r = dinv * (b - ops.spmv(a, x))
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        dx = rho_new * rho * dx + (2.0 * rho_new / delta) * r
+        return x + dx, dx, rho_new
+
+    x, _, _ = jax.lax.fori_loop(0, degree - 1, body, (x, dx, rho))
+    return x
+
+
+def split_lower_strict(a: ELL):
+    """Masks for the strictly-lower / strictly-upper parts of A's slots."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
+    mask = a.slot_mask()
+    lower = mask & (a.cols < ri)
+    upper = mask & (a.cols > ri)
+    return lower, upper
+
+
+def gs2_apply(a: ELL, d: jnp.ndarray, b, x, sweeps: int, inner: int):
+    """Two-stage (inexact) forward/backward Gauss-Seidel.
+
+    Each half-sweep needs z = (D + L)⁻¹ r; the triangular solve is replaced
+    by `inner` Jacobi iterations on (D + L) z = r:
+        z ← D⁻¹ (r − L z)
+    which converges because D⁻¹L is strictly triangular (nilpotent).
+    """
+    lower, upper = split_lower_strict(a)
+    dinv = 1.0 / d
+
+    def tri_apply(masked_vals, z):
+        gathered = jnp.take(z, a.cols, axis=0)
+        return jnp.sum(masked_vals * gathered, axis=1)
+
+    lvals = jnp.where(lower, a.vals, 0.0)
+    uvals = jnp.where(upper, a.vals, 0.0)
+
+    def half(x, tri_vals):
+        r = b - ops.spmv(a, x)
+        z = dinv * r
+
+        def body(_, z):
+            return dinv * (r - tri_apply(tri_vals, z))
+
+        z = jax.lax.fori_loop(0, inner, body, z)
+        return x + z
+
+    def body(_, x):
+        x = half(x, lvals)   # forward
+        x = half(x, uvals)   # backward
+        return x
+
+    return jax.lax.fori_loop(0, sweeps, body, x)

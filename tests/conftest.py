@@ -20,11 +20,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# XLA-CPU compiles are slow in this environment; cache them across runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jaxcache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np
 import pytest

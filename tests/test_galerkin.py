@@ -1,0 +1,110 @@
+"""Galerkin coarse-operator construction vs scipy P^T A P."""
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from multigridsolver_tpu.sparse.formats import CSR
+from multigridsolver_tpu.setup.galerkin import galerkin_dense, galerkin_ell
+from multigridsolver_tpu.setup.prolongation import (labels_from_p_csr,
+                                                    p_csr_from_labels,
+                                                    prolong, restrict,
+                                                    compose_labels)
+
+
+def random_problem(n=40, seed=1, excluded=3):
+    rs = np.random.RandomState(seed)
+    a = sp.random(n, n, density=0.15, random_state=rs, format="csr")
+    a = a + a.T + 4.0 * sp.identity(n)
+    a = a.tocsr(); a.sort_indices()
+    labels = rs.randint(0, n // 3, size=n).astype(np.int32)
+    labels[rs.choice(n, excluded, replace=False)] = -1
+    # compact label ids
+    used = np.unique(labels[labels >= 0])
+    remap = -np.ones(labels.max() + 1, dtype=np.int32)
+    remap[used] = np.arange(len(used))
+    labels = np.where(labels >= 0, remap[np.maximum(labels, 0)], -1)
+    nc = len(used)
+    return CSR.from_scipy(a), labels.astype(np.int32), nc
+
+
+def scipy_rap(a: CSR, labels, nc):
+    p = p_csr_from_labels(labels, nc).to_scipy()
+    return (p.T @ a.to_scipy() @ p).toarray()
+
+
+class TestGalerkin:
+    def test_dense_matches_scipy(self):
+        a, labels, nc = random_problem()
+        ell = a.to_ell(dtype=jnp.float64)
+        lab = np.full(ell.npad, -1, np.int32)
+        lab[: len(labels)] = labels
+        nc_pad = nc + 5
+        ac = np.asarray(galerkin_dense(ell, jnp.asarray(lab), nc_pad))
+        expect = scipy_rap(a, labels, nc)
+        np.testing.assert_allclose(ac[:nc, :nc], expect, rtol=1e-12,
+                                   atol=1e-12)
+        np.testing.assert_allclose(ac[nc:, :], 0.0)
+
+    def test_ell_matches_scipy(self):
+        for seed in (1, 2, 5):
+            a, labels, nc = random_problem(seed=seed)
+            ell = a.to_ell(dtype=jnp.float64)
+            lab = np.full(ell.npad, -1, np.int32)
+            lab[: len(labels)] = labels
+            ac = galerkin_ell(ell, jnp.asarray(lab), nc)
+            expect = scipy_rap(a, labels, nc)
+            got = ac.to_csr().to_dense()
+            np.testing.assert_allclose(got, expect, rtol=1e-11, atol=1e-12)
+
+    def test_ell_poisson_aggregates(self):
+        """Structured case: 2D Poisson with 2x1 pairwise aggregates."""
+        import conftest
+        a = conftest.poisson2d_csr(8)
+        n = a.shape[0]
+        labels = (np.arange(n) // 2).astype(np.int32)
+        nc = n // 2
+        ell = a.to_ell(dtype=jnp.float64)
+        lab = np.full(ell.npad, -1, np.int32)
+        lab[:n] = labels
+        ac = galerkin_ell(ell, jnp.asarray(lab), nc)
+        expect = scipy_rap(a, labels, nc)
+        np.testing.assert_allclose(ac.to_csr().to_dense(), expect,
+                                   rtol=1e-12, atol=1e-12)
+
+
+class TestProlongation:
+    def test_roundtrip_p_labels(self):
+        _, labels, nc = random_problem()
+        p = p_csr_from_labels(labels, nc)
+        lab2, nc2 = labels_from_p_csr(p)
+        assert nc2 == nc
+        np.testing.assert_array_equal(lab2, labels)
+
+    def test_prolong_restrict_adjoint(self):
+        _, labels, nc = random_problem(seed=9)
+        n = len(labels)
+        lab = jnp.asarray(labels)
+        rs = np.random.RandomState(0)
+        xc = jnp.asarray(rs.randn(nc + 3))
+        v = jnp.asarray(rs.randn(n))
+        # <P xc, v> == <xc, P^T v>
+        lhs = float(jnp.vdot(prolong(lab, xc), v))
+        rhs = float(jnp.vdot(xc, restrict(lab, v, nc + 3)))
+        assert abs(lhs - rhs) < 1e-12
+
+    def test_compose_labels(self):
+        l1 = jnp.asarray(np.array([0, 0, 1, 2, -1, 2], np.int32))
+        l2 = jnp.asarray(np.array([1, 0, 0], np.int32))
+        out = np.asarray(compose_labels(l1, l2))
+        np.testing.assert_array_equal(out, [1, 1, 0, 0, -1, 0])
+
+    def test_shipped_promatrix_is_piecewise_constant(self):
+        from multigridsolver_tpu.io import read_mtx
+        from conftest import reference_matrix_path
+        p = read_mtx(reference_matrix_path("poisson10000promatrix.mtx"))
+        labels, nc = labels_from_p_csr(p)
+        assert nc == 610
+        assert labels.shape[0] == 10000
+        # the shipped file was generated with npass=4: aggregates ≤ 2^4
+        sizes = np.bincount(labels[labels >= 0])
+        assert sizes.max() <= 16

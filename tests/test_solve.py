@@ -1,0 +1,162 @@
+"""Solve layer: smoothers, Krylov methods, hierarchy cycles, and the
+minimum end-to-end slice — two-level preconditioned BiCGStab on the
+reference's shipped poisson10000 prolongation (BASELINE.json config 1)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+import conftest
+from conftest import reference_matrix_path
+from multigridsolver_tpu.io import read_mtx
+from multigridsolver_tpu.sparse.formats import CSR
+from multigridsolver_tpu.sparse import ops
+from multigridsolver_tpu.solve import (bicgstab, cg, fcg, make_smoother,
+                                       solve_hierarchy, two_level_from_p)
+from multigridsolver_tpu.solve.api import pad_vector
+
+
+def spd_problem(n=10):
+    a = conftest.poisson2d_csr(n)
+    rs = np.random.RandomState(42)
+    b = rs.rand(a.shape[0])
+    return a, b
+
+
+class TestSmoothers:
+    @pytest.mark.parametrize("kind", ["jacobi", "l1jacobi", "chebyshev",
+                                      "gs2"])
+    def test_reduces_error(self, kind):
+        a, b = spd_problem(8)
+        ell = a.to_ell(dtype=jnp.float64)
+        sm = make_smoother(ell, kind=kind)
+        bp = pad_vector(b, ell.npad, jnp.float64)
+        x = jnp.zeros_like(bp)
+        r0 = float(jnp.linalg.norm(bp - ops.spmv(ell, x)))
+        for _ in range(8):
+            x = sm.apply(ell, bp, x)
+        r = float(jnp.linalg.norm(bp - ops.spmv(ell, x)))
+        assert r < 0.5 * r0, f"{kind}: {r} vs {r0}"
+
+    def test_gs2_matches_exact_gs_with_many_inner(self):
+        """With enough inner Jacobi sweeps the two-stage GS equals exact
+        symmetric Gauss-Seidel."""
+        a, b = spd_problem(5)
+        ell = a.to_ell(dtype=jnp.float64)
+        n = a.shape[0]
+        sm = make_smoother(ell, kind="gs2", sweeps=1, inner_sweeps=60)
+        bp = pad_vector(b, ell.npad, jnp.float64)
+        x = np.asarray(sm.apply(ell, bp, jnp.zeros_like(bp)))[:n]
+        ad = a.to_dense()
+        dl = np.tril(ad)          # D + L
+        du = np.triu(ad)          # D + U
+        xf = np.linalg.solve(dl, b)
+        xe = xf + np.linalg.solve(du, b - ad @ xf)
+        np.testing.assert_allclose(x, xe, rtol=1e-8, atol=1e-10)
+
+
+class TestKrylov:
+    def test_cg_unpreconditioned(self):
+        a, b = spd_problem(8)
+        ell = a.to_ell(dtype=jnp.float64)
+        bp = pad_vector(b, ell.npad, jnp.float64)
+        res = cg(lambda v: ops.spmv(ell, v), bp, tol=1e-10, maxiter=2000)
+        assert int(res.status) == 0
+        x = np.asarray(res.x)[: a.shape[0]]
+        ref = np.linalg.solve(a.to_dense(), b)
+        np.testing.assert_allclose(x, ref, rtol=1e-7, atol=1e-8)
+
+    def test_bicgstab_nonsymmetric(self):
+        rs = np.random.RandomState(3)
+        n = 60
+        m = sp.random(n, n, density=0.1, random_state=rs, format="csr")
+        a = CSR.from_scipy((m + 8.0 * sp.identity(n)).tocsr())
+        b = rs.rand(n)
+        ell = a.to_ell(dtype=jnp.float64)
+        bp = pad_vector(b, ell.npad, jnp.float64)
+        res = bicgstab(lambda v: ops.spmv(ell, v), bp, tol=1e-10,
+                       maxiter=500)
+        assert int(res.status) == 0
+        x = np.asarray(res.x)[:n]
+        np.testing.assert_allclose(a.to_scipy() @ x, b, rtol=0, atol=1e-8)
+
+    def test_bicgstab_zero_rhs(self):
+        a, _ = spd_problem(4)
+        ell = a.to_ell(dtype=jnp.float64)
+        bp = jnp.zeros((ell.npad,), jnp.float64)
+        res = bicgstab(lambda v: ops.spmv(ell, v), bp, tol=1e-8)
+        assert int(res.status) == 0
+        assert int(res.iterations) == 0
+
+    def test_fcg(self):
+        a, b = spd_problem(8)
+        ell = a.to_ell(dtype=jnp.float64)
+        bp = pad_vector(b, ell.npad, jnp.float64)
+        res = fcg(lambda v: ops.spmv(ell, v), bp, tol=1e-9, maxiter=2000)
+        assert int(res.status) == 0
+        ref = np.linalg.solve(a.to_dense(), b)
+        np.testing.assert_allclose(np.asarray(res.x)[: a.shape[0]], ref,
+                                   rtol=1e-6, atol=1e-7)
+
+
+class TestTwoLevel:
+    def test_poisson_two_level_accelerates(self):
+        """Two-level preconditioner must cut iterations vs plain CG."""
+        a, b = spd_problem(16)
+        n = a.shape[0]
+        labels = (np.arange(n) // 4).astype(np.int32)   # 4-node aggregates
+        from multigridsolver_tpu.setup.prolongation import p_csr_from_labels
+        p = p_csr_from_labels(labels, n // 4)
+        hier = two_level_from_p(a, p, smoother_kind="gs2",
+                                dtype=jnp.float64)
+        res = solve_hierarchy(hier, b, method="cg", tol=1e-8)
+        assert int(res.status) == 0
+        plain = cg(lambda v: ops.spmv(hier.levels[0].a, v),
+                   pad_vector(b, hier.levels[0].a.npad, jnp.float64),
+                   tol=1e-8, maxiter=2000)
+        assert int(res.iterations) < int(plain.iterations) / 2
+
+    def test_solution_correct(self):
+        a, b = spd_problem(12)
+        n = a.shape[0]
+        labels = (np.arange(n) // 2).astype(np.int32)
+        from multigridsolver_tpu.setup.prolongation import p_csr_from_labels
+        p = p_csr_from_labels(labels, n // 2)
+        hier = two_level_from_p(a, p, smoother_kind="chebyshev",
+                                dtype=jnp.float64)
+        res = solve_hierarchy(hier, b, method="cg", tol=1e-10)
+        ref = np.linalg.solve(a.to_dense(), b)
+        np.testing.assert_allclose(np.asarray(res.x), ref, rtol=1e-6,
+                                   atol=1e-8)
+
+
+class TestEndToEndShippedP:
+    """BASELINE.json config 1: poisson10000grid + shipped promatrix."""
+
+    @pytest.fixture(scope="class")
+    def problem(self):
+        a = read_mtx(reference_matrix_path("poisson10000grid.mtx"))
+        # NOTE: poisson10000grid.mtx is actually the *gridPlot* output
+        # (100x100 coloring), so build the real poisson 100x100-grid matrix
+        # (10000 dofs) the way src/common/poisson.cpp does, and pair it with
+        # the shipped 10000x610 promatrix.
+        a = conftest.poisson2d_csr(100)
+        p = read_mtx(reference_matrix_path("poisson10000promatrix.mtx"))
+        assert p.shape == (10000, 610)
+        return a, p
+
+    def test_solves_with_reference_p(self, problem):
+        a, p = problem
+        rs = np.random.RandomState(0)
+        b = rs.rand(a.shape[0])
+        hier = two_level_from_p(a, p, smoother_kind="gs2",
+                                dtype=jnp.float64)
+        res = solve_hierarchy(hier, b, method="bicgstab", tol=1e-6)
+        assert int(res.status) == 0
+        # reference logs ~5-12 BiCGStab iterations on poisson100 problems
+        # (results.txt:59-81); our smoother differs from ILUT so allow
+        # headroom but require genuinely multigrid-fast convergence
+        assert int(res.iterations) <= 20
+        x = np.asarray(res.x)
+        r = b - a.to_scipy() @ x
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
