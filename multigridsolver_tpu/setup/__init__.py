@@ -1,3 +1,7 @@
 from .prolongation import (prolong, restrict, labels_from_p_csr,
                            p_csr_from_labels, compose_labels)
 from .galerkin import galerkin_dense, galerkin_ell
+from .strength import compute_strength, StrengthData
+from .matching import mutual_match, labels_from_pairs, greedy_match_host
+from .aggregation import (pairwise_aggregate, build_amg_setup,
+                          AggregationResult, SetupResult)

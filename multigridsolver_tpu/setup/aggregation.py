@@ -1,0 +1,148 @@
+"""Multi-pass pairwise aggregation driver and full hierarchy setup.
+
+Orchestration mirrors the reference's pass loop
+(``src/CPU_C++/AGMG.cpp:299-315``, ``src/GPU_CUDAC++/main.cu:95-277``):
+
+  pass 1:  strength + G0 exclusion on A, matching → labels¹ (n → nc₁)
+  pass s:  strength on the *coarse* matrix A̅ (no exclusions), matching
+           → pass labels (nc₋₁ → nc), composed into the fine labels
+           (label composition replaces the reference's P_cumm·P SpGEMM,
+           main.cu:255-261)
+  early exit when nnz(A̅) ≤ nnz(A)/τ (AGMG.cpp:309 / main.cu:100) or
+  the coarse grid is smaller than ``max_restriction`` (AGMG.cpp:310).
+
+The host reads back only nc and nnz per pass — the same scalars the CUDA
+host reads (main.cu:189-214); everything else stays on device.
+
+``build_amg_setup`` extends this to a full multilevel hierarchy (each level
+runs one npass aggregation round on the previous coarse operator), which
+the reference caps at two levels but its Fortran ground truth allows up to
+maxlev=40 (dagtwolev_mex.f90:101).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sparse.formats import CSR, ELL
+from ..utils.config import AggregationConfig, HierarchyConfig
+from ..utils.timing import PhaseTimer
+from .strength import compute_strength
+from .matching import (mutual_match, labels_from_pairs, greedy_match_host,
+                       cmk_order_host)
+from .galerkin import galerkin_ell
+from .prolongation import compose_labels
+
+
+@dataclass
+class PassInfo:
+    nc: int
+    nnz: int
+    rounds: int = 0
+
+
+@dataclass
+class AggregationResult:
+    labels: jnp.ndarray          # (npad,) fine row → final aggregate (or -1)
+    nc: int
+    coarse: ELL                  # final coarse operator of this round
+    passes: list[PassInfo] = field(default_factory=list)
+
+
+@partial(jax.jit, static_argnames=("first_pass", "ktg", "checkdd", "trspos",
+                                   "fracnegrcsum", "max_rounds"))
+def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
+                trspos: float, fracnegrcsum: float, max_rounds: int):
+    st = compute_strength(a, ktg, first_pass, checkdd=checkdd,
+                          trspos=trspos, fracnegrcsum=fracnegrcsum)
+    paired = mutual_match(a, st, max_rounds=max_rounds)
+    labels, nc = labels_from_pairs(paired, st.excluded)
+    return labels, nc
+
+
+def _greedy_pass(a: ELL, first_pass: bool, cfg: AggregationConfig):
+    """Host-exact greedy pass (parity mode, float64 on CSR)."""
+    csr = a.to_csr()
+    st = compute_strength(a.astype(jnp.float64), cfg.ktg, first_pass,
+                          checkdd=cfg.checkdd, trspos=cfg.trspos,
+                          fracnegrcsum=cfg.fracnegrcsum)
+    excluded = np.asarray(st.excluded)[: csr.nrows]
+    si = np.asarray(st.si)[: csr.nrows]
+    order = cmk_order_host(csr) if first_pass else np.arange(csr.nrows)
+    labels_np = greedy_match_host(csr, cfg.ktg, excluded, si, order)
+    nc = int(labels_np.max()) + 1 if (labels_np >= 0).any() else 0
+    labels = jnp.full((a.npad,), -1, jnp.int32)
+    labels = labels.at[: csr.nrows].set(jnp.asarray(labels_np))
+    return labels, nc
+
+
+def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
+                       timer: PhaseTimer | None = None) -> AggregationResult:
+    """One AGMG setup round: npass pairwise passes over ``a``."""
+    timer = timer or PhaseTimer(enabled=False)
+    nnz0 = a.nnz
+    passes: list[PassInfo] = []
+
+    def run_pass(mat: ELL, first: bool):
+        if cfg.matching == "greedy":
+            return _greedy_pass(mat, first, cfg)
+        labels, nc = _match_pass(mat, first, float(cfg.ktg),
+                                 float(cfg.checkdd), float(cfg.trspos),
+                                 float(cfg.fracnegrcsum),
+                                 int(cfg.max_matching_rounds))
+        return labels, int(nc)
+
+    with timer.phase("aggregation.pass1"):
+        labels, nc = run_pass(a, True)
+    cum_labels = labels
+    with timer.phase("aggregation.galerkin1"):
+        ac = galerkin_ell(a, cum_labels, nc)
+    passes.append(PassInfo(nc=nc, nnz=ac.nnz))
+
+    for s in range(2, cfg.npass + 1):
+        if ac.nnz <= nnz0 / cfg.tou:
+            break
+        if cfg.max_restriction and ac.nrows < cfg.max_restriction:
+            break
+        with timer.phase(f"aggregation.pass{s}"):
+            pass_labels, nc = run_pass(ac, False)
+        cum_labels = compose_labels(cum_labels, pass_labels)
+        with timer.phase(f"aggregation.galerkin{s}"):
+            ac = galerkin_ell(ac, pass_labels, nc)
+        passes.append(PassInfo(nc=nc, nnz=ac.nnz))
+
+    return AggregationResult(labels=cum_labels, nc=nc, coarse=ac,
+                             passes=passes)
+
+
+@dataclass
+class SetupResult:
+    """Full multilevel setup output: per-level labels and operators."""
+
+    matrices: list[ELL]              # level operators, finest first
+    level_labels: list[jnp.ndarray]  # labels level l → level l+1
+    rounds: list[AggregationResult] = field(default_factory=list)
+
+
+def build_amg_setup(a: ELL, cfg: HierarchyConfig,
+                    timer: PhaseTimer | None = None) -> SetupResult:
+    """Coarsen until the coarsest level fits a dense direct solve."""
+    mats = [a]
+    labels: list[jnp.ndarray] = []
+    rounds: list[AggregationResult] = []
+    cur = a
+    for _ in range(cfg.max_levels - 1):
+        if cur.nrows <= cfg.max_coarse_size:
+            break
+        res = pairwise_aggregate(cur, cfg.aggregation, timer=timer)
+        if res.nc == 0 or res.nc >= cur.nrows:
+            break   # no coarsening progress; stop
+        labels.append(res.labels)
+        mats.append(res.coarse)
+        rounds.append(res)
+        cur = res.coarse
+    return SetupResult(matrices=mats, level_labels=labels, rounds=rounds)

@@ -1,0 +1,135 @@
+"""Strength-of-connection quantities for pairwise aggregation.
+
+Implements, as dense (n, K) vectorised ops over the ELL slots, the per-node
+quantities the reference computes with per-row CUDA threads / Eigen
+iterators:
+
+* ``si_vector`` — sᵢ = −(Σⱼ≠ᵢ aᵢⱼ + Σⱼ≠ᵢ aⱼᵢ)/2, the "Si" vector of the
+  Napov–Notay papers (``src/GPU_CUDAC++/Aggregation.cu:68-90``,
+  ``src/CPU_C++/AGMG.cpp:84-90``).
+* ``g0_mask`` — the strongly-diagonally-dominant exclusion set G0:
+  aᵢᵢ ≥ κ/(κ−2) · Σⱼ≠ᵢ|(aᵢⱼ+aⱼᵢ)/2|  (``AGMG.cpp:118-123``,
+  ``Aggregation.cu:57-61``; the Fortran generalises the factor to
+  checkddJ = max(|checkdd|, κ/(κ−2)), ``dagtwolev_mex.f90:161-162``).
+* ``trspos_mask`` — Fortran rule (``dagtwolev_mex.f90:759``): a node whose
+  largest positive off-diagonal exceeds trspos·aᵢᵢ is transferred
+  unaggregated.
+* ``mu_slots`` — the pair quality μ(i,j) for every stored neighbour slot
+  (``AGMG.cpp:92-99``, ``Aggregation.cu:96-105``):
+
+      μ(i,j) = [2 / (1/aᵢᵢ + 1/aⱼⱼ)] /
+               [ −(aᵢⱼ+aⱼᵢ)/2  +  1 / (1/(aᵢᵢ−sᵢ) + 1/(aⱼⱼ−sⱼ)) ]
+
+  μ is symmetric in (i, j): every subexpression is a commutative
+  combination of the same four coefficients, so both endpoints of an edge
+  compute bitwise-identical μ — the property the TPU matching relies on.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse.formats import ELL
+from ..sparse import ops
+
+
+class StrengthData(NamedTuple):
+    diag: jnp.ndarray       # (npad,) aᵢᵢ
+    si: jnp.ndarray         # (npad,) sᵢ
+    excluded: jnp.ndarray   # (npad,) bool — G0 ∪ trspos ∪ padding
+    mu: jnp.ndarray         # (npad, K) μ per stored slot (junk on invalid)
+    allowed: jnp.ndarray    # (npad, K) bool — pair candidate mask
+    vals_t: jnp.ndarray     # (npad, K) aⱼᵢ per slot
+
+
+def si_vector(a: ELL) -> jnp.ndarray:
+    rs = ops.row_sum(a, skip_diag=True)
+    cs = ops.col_sum(a, skip_diag=True)
+    return -(rs + cs) / 2.0
+
+
+def g0_mask(a: ELL, diag: jnp.ndarray, ktg: float,
+            checkdd: float = -0.5) -> jnp.ndarray:
+    """True for nodes excluded by diagonal dominance."""
+    abs_sum, _ = ops.symmetrized_offdiag_sums(a)
+    factor = max(abs(checkdd), ktg / (ktg - 2.0))
+    return diag >= factor * abs_sum
+
+
+def trspos_mask(a: ELL, diag: jnp.ndarray, trspos: float) -> jnp.ndarray:
+    """True for nodes with a positive off-diagonal > trspos · aᵢᵢ."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
+    off = a.slot_mask() & (a.cols != ri)
+    pos_max = jnp.max(jnp.where(off, a.vals, -jnp.inf), axis=1)
+    return pos_max > trspos * diag
+
+
+def mu_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
+             vals_t: jnp.ndarray) -> jnp.ndarray:
+    """μ(i, j) for every stored slot (i → j)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
+    aii = jnp.take(diag, ri, axis=0)
+    ajj = jnp.take(diag, a.cols, axis=0)
+    s_i = jnp.take(si, ri, axis=0)
+    s_j = jnp.take(si, a.cols, axis=0)
+    aij = a.vals
+    aji = vals_t
+    num = 2.0 / (1.0 / aii + 1.0 / ajj)
+    den = (-(aij + aji) / 2.0
+           + 1.0 / (1.0 / (aii - s_i) + 1.0 / (ajj - s_j)))
+    return num / den
+
+
+def feasible_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray) -> jnp.ndarray:
+    """aᵢᵢ − sᵢ + aⱼⱼ − sⱼ ≥ 0 per slot (``AGMG.cpp:159``,
+    ``Aggregation.cu:157-159``)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
+    lhs = (jnp.take(diag, ri, axis=0) - jnp.take(si, ri, axis=0)
+           + jnp.take(diag, a.cols, axis=0) - jnp.take(si, a.cols, axis=0))
+    return lhs >= 0.0
+
+
+def compute_strength(a: ELL, ktg: float, first_pass: bool,
+                     checkdd: float = -0.5, trspos: float = 0.0,
+                     fracnegrcsum: float = 0.0) -> StrengthData:
+    """All per-pass strength data in one jittable computation.
+
+    ``first_pass=False`` disables the G0/trspos exclusions, matching the
+    reference (``Aggregation.cu:60-63`` zeroes ising0 on later passes; the
+    CPU further pass has no exclusion logic at all, ``AGMG.cpp:196-280``).
+    """
+    diag = ops.extract_diag(a)
+    si = si_vector(a)
+    rowmask = a.row_mask()
+    if first_pass:
+        excl = g0_mask(a, diag, ktg, checkdd)
+        if fracnegrcsum > 0.0:
+            # zerors rule (dagtwolev_mex.f90:763-770): if more than
+            # fracnegrcsum·n nodes have negative mean row+col sum
+            # (including the diagonal: aᵢᵢ + ods < 0 ⇔ diag − sᵢ < 0), the
+            # DD exclusions are cancelled wholesale (ind2(1:n) = -1; the
+            # trspos transfers via iperm are NOT cancelled).
+            neg = jnp.sum(((diag - si) < 0.0) & rowmask)
+            zerors = neg > fracnegrcsum * jnp.maximum(jnp.sum(rowmask), 1)
+            excl = jnp.where(zerors, jnp.zeros_like(excl), excl)
+        if trspos > 0.0:
+            excl = excl | trspos_mask(a, diag, trspos)
+    else:
+        excl = jnp.zeros((a.npad,), dtype=bool)
+    excl = excl | ~rowmask
+    vals_t = ops.transposed_slot_values(a)
+    mu = mu_slots(a, diag, si, vals_t)
+    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
+    nondiag = a.slot_mask() & (a.cols != ri)
+    # stored-but-zero entries are not graph edges when the symmetrised
+    # coupling vanishes; the reference checks A(i,j) != 0 (AGMG.cpp:155)
+    edge = nondiag & ((a.vals != 0.0) | (vals_t != 0.0))
+    allowed = (edge
+               & (mu > 0.0) & (mu <= ktg)
+               & ~jnp.take(excl, ri, axis=0)
+               & ~jnp.take(excl, a.cols, axis=0)
+               & feasible_slots(a, diag, si))
+    return StrengthData(diag=diag, si=si, excluded=excl, mu=mu,
+                        allowed=allowed, vals_t=vals_t)

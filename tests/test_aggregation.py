@@ -1,0 +1,214 @@
+"""Aggregation setup phase: strength data, matching, multi-pass driver.
+
+Correctness methodology follows the reference's own
+(src/GPU_CUDAC++/results.txt): structural invariants + solve-iteration
+parity between P produced by our setup and the reference's shipped
+promatrix files, under the same solver.
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+import conftest
+from conftest import reference_matrix_path
+from multigridsolver_tpu.io import read_mtx
+from multigridsolver_tpu.sparse.formats import CSR
+from multigridsolver_tpu.sparse import ops
+from multigridsolver_tpu.setup.strength import compute_strength
+from multigridsolver_tpu.setup.matching import (mutual_match,
+                                                labels_from_pairs,
+                                                cmk_order_host)
+from multigridsolver_tpu.setup.aggregation import (pairwise_aggregate,
+                                                   build_amg_setup)
+from multigridsolver_tpu.utils.config import (AggregationConfig,
+                                              HierarchyConfig)
+
+
+def poisson_ell(n, dtype=jnp.float64):
+    a = conftest.poisson2d_csr(n)
+    return a, a.to_ell(dtype=dtype)
+
+
+class TestStrength:
+    def test_si_matches_reference_formula(self):
+        a, ell = poisson_ell(6)
+        st = compute_strength(ell, 10.0, True)
+        ad = a.to_dense()
+        n = a.shape[0]
+        off = ad.copy(); np.fill_diagonal(off, 0.0)
+        expect = -(off.sum(1) + off.sum(0)) / 2.0
+        np.testing.assert_allclose(np.asarray(st.si)[:n], expect, rtol=1e-12)
+
+    def test_g0_excludes_dominant_row(self):
+        # periodic 1D Laplacian (no boundary-dominance artifacts), with
+        # node 0 made strongly diagonally dominant
+        n = 12
+        d = np.full(n, 2.05); d[0] = 1000.0
+        a = sp.diags([d, -np.ones(n - 1), -np.ones(n - 1)],
+                     [0, -1, 1]).tolil()
+        a[0, n - 1] = -1.0
+        a[n - 1, 0] = -1.0
+        csr = CSR.from_scipy(a.tocsr())
+        ell = csr.to_ell(dtype=jnp.float64)
+        st = compute_strength(ell, 10.0, True)
+        excl = np.asarray(st.excluded)
+        assert excl[0]
+        assert not excl[1: csr.nrows].any()
+        # later passes: no exclusion (Aggregation.cu:60-63)
+        st2 = compute_strength(ell, 10.0, False)
+        assert not np.asarray(st2.excluded)[: csr.nrows].any()
+
+    def test_g0_excludes_poisson_boundary(self):
+        """The reference G0 test (AGMG.cpp:119, κ=10 → factor 1.25)
+        excludes the Dirichlet-boundary rows of a 5-point Poisson matrix:
+        corner rows have |offdiag|=2, 4 ≥ 1.25·2; edge rows 4 ≥ 1.25·3;
+        interior rows 4 < 1.25·4 stay in."""
+        a, ell = poisson_ell(4)
+        st = compute_strength(ell, 10.0, True)
+        excl = np.asarray(st.excluded)[:16].reshape(4, 4)
+        assert excl[0].all() and excl[-1].all()
+        assert excl[:, 0].all() and excl[:, -1].all()
+        assert not excl[1:3, 1:3].any()
+
+    def test_mu_symmetric(self):
+        """μ evaluated from slot (i→j) equals μ from (j→i) bitwise."""
+        rs = np.random.RandomState(2)
+        m = sp.random(30, 30, density=0.2, random_state=rs, format="csr")
+        a = CSR.from_scipy((m + m.T + 6.0 * sp.identity(30)).tocsr())
+        ell = a.to_ell(dtype=jnp.float64)
+        st = compute_strength(ell, 10.0, True)
+        mu = np.asarray(st.mu)
+        cols = np.asarray(ell.cols)
+        nnzr = np.asarray(ell.rownnz)
+        mu_of = {}
+        for i in range(a.nrows):
+            for s in range(nnzr[i]):
+                mu_of[(i, cols[i, s])] = mu[i, s]
+        for (i, j), v in mu_of.items():
+            if (j, i) in mu_of and i != j:
+                assert v == mu_of[(j, i)], (i, j)
+
+    def test_allowed_respects_threshold(self):
+        a, ell = poisson_ell(5)
+        ktg = 10.0
+        st = compute_strength(ell, ktg, True)
+        mu = np.asarray(st.mu)
+        allowed = np.asarray(st.allowed)
+        assert ((mu[allowed] > 0) & (mu[allowed] <= ktg)).all()
+
+
+class TestMutualMatch:
+    def test_pairs_are_mutual_and_valid(self):
+        a, ell = poisson_ell(10)
+        n = a.shape[0]
+        st = compute_strength(ell, 10.0, True)
+        paired = np.asarray(mutual_match(ell, st))
+        excl = np.asarray(st.excluded)
+        for i in range(n):
+            if excl[i]:
+                assert paired[i] == -1
+                continue
+            p = paired[i]
+            assert p >= 0, f"node {i} undecided"
+            if p != i:
+                assert paired[p] == i, "pair not mutual"
+                # partner must be a graph neighbour
+                row = a.indices[a.indptr[i]: a.indptr[i + 1]]
+                assert p in row
+
+    def test_deterministic(self):
+        a, ell = poisson_ell(8)
+        st = compute_strength(ell, 10.0, True)
+        p1 = np.asarray(mutual_match(ell, st))
+        p2 = np.asarray(mutual_match(ell, st))
+        np.testing.assert_array_equal(p1, p2)
+
+    def test_labels_cover_all_active(self):
+        a, ell = poisson_ell(10)
+        st = compute_strength(ell, 10.0, True)
+        paired = mutual_match(ell, st)
+        labels, nc = labels_from_pairs(paired, st.excluded)
+        labels = np.asarray(labels)
+        n = a.shape[0]
+        excl = np.asarray(st.excluded)
+        nc = int(nc)
+        active = labels[:n][~excl[:n]]
+        assert (active >= 0).all()
+        assert set(np.unique(active)) == set(range(nc))
+        # pairwise: aggregates have 1 or 2 members
+        sizes = np.bincount(active)
+        assert sizes.max() <= 2
+
+    def test_matching_rate_poisson(self):
+        """On a Poisson grid nearly all nodes should pair up (coarsening
+        ratio close to 2 per pass, as the reference achieves)."""
+        a, ell = poisson_ell(30)
+        st = compute_strength(ell, 10.0, True)
+        paired = np.asarray(mutual_match(ell, st))
+        n = a.shape[0]
+        singles = np.sum(paired[:n] == np.arange(n))
+        assert singles < 0.12 * n, f"too many singletons: {singles}/{n}"
+
+
+class TestMultiPass:
+    def test_poisson_two_pass_ratio(self):
+        a, ell = poisson_ell(32)
+        cfg = AggregationConfig(ktg=10.0, npass=2, tou=8.0)
+        res = pairwise_aggregate(ell, cfg)
+        n = a.shape[0]
+        # two pairwise passes ≈ 4x coarsening (reference achieves ~3.5-4x)
+        assert res.nc <= n / 3.0
+        assert res.nc >= n / 8.0
+        assert res.coarse.nrows == res.nc
+        # coarse operator consistent with composed labels
+        from multigridsolver_tpu.setup.galerkin import galerkin_ell
+        direct = galerkin_ell(ell, res.labels, res.nc)
+        np.testing.assert_allclose(direct.to_csr().to_dense(),
+                                   res.coarse.to_csr().to_dense(),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_early_exit_tou(self):
+        a, ell = poisson_ell(16)
+        cfg = AggregationConfig(ktg=10.0, npass=6, tou=2.0)
+        res = pairwise_aggregate(ell, cfg)
+        # τ=2 exits as soon as nnz(Ac) ≤ nnz/2 — after very few passes
+        assert len(res.passes) <= 3
+
+    def test_greedy_mode_runs(self):
+        a, ell = poisson_ell(8)
+        cfg = AggregationConfig(npass=2, matching="greedy")
+        res = pairwise_aggregate(ell, cfg)
+        n = a.shape[0]
+        assert 0 < res.nc < n
+        labels = np.asarray(res.labels)[:n]
+        sizes = np.bincount(labels[labels >= 0])
+        assert sizes.max() <= 4
+
+    def test_full_setup_hierarchy(self):
+        a, ell = poisson_ell(24)
+        cfg = HierarchyConfig(max_coarse_size=40,
+                              aggregation=AggregationConfig(npass=2))
+        setup = build_amg_setup(ell, cfg)
+        assert len(setup.matrices) >= 2
+        assert setup.matrices[-1].nrows <= 40 or \
+            len(setup.matrices) == cfg.max_levels
+        # galerkin chain consistency: each level's op is PᵀAP of previous
+        for l, lab in enumerate(setup.level_labels):
+            from multigridsolver_tpu.setup.galerkin import galerkin_ell
+            rebuilt = galerkin_ell(setup.matrices[l], lab,
+                                   setup.matrices[l + 1].nrows)
+            np.testing.assert_allclose(
+                rebuilt.to_csr().to_dense(),
+                setup.matrices[l + 1].to_csr().to_dense(),
+                rtol=1e-9, atol=1e-11)
+
+
+class TestCMKOrder:
+    def test_bfs_order_poisson(self):
+        a = conftest.poisson2d_csr(4)
+        order = cmk_order_host(a)
+        assert order[0] == 0
+        assert sorted(order.tolist()) == list(range(16))
+        # BFS from corner of a grid: second/third visited are its neighbours
+        assert set(order[1:3].tolist()) == {1, 4}
