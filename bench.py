@@ -1,0 +1,140 @@
+"""Benchmark driver — prints ONE JSON line to stdout.
+
+Headline: wall-clock of the multigrid-preconditioned BiCGStab solve of the
+poisson1000 problem (n = 10⁶, 5-point 2D Laplacian, the reference's largest
+shipped-benchmark family) at tol 1e-6 with a random RHS — the same
+configuration as the reference's published solve benchmark
+(``src/GPU_CUDAC++/results.txt:87-95``: 2.956 s with GPU-produced P,
+CPU BiCGStab solver, settings ktg=10 npass=2 tou=8).
+
+``vs_baseline`` is the speedup factor: reference_seconds / our_seconds
+(> 1 means faster than the reference).
+
+Detailed per-phase numbers (setup time, SpMV nnz/s, iterations) go to
+stderr and BENCH_DETAILS.json.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from multigridsolver_tpu.sparse.formats import CSR
+    from multigridsolver_tpu.sparse import ops
+    from multigridsolver_tpu.setup.aggregation import build_amg_setup
+    from multigridsolver_tpu.solve.hierarchy import build_hierarchy
+    from multigridsolver_tpu.solve.api import solve_hierarchy, pad_vector
+    from multigridsolver_tpu.utils.config import (AggregationConfig,
+                                                  HierarchyConfig)
+
+    dev = jax.devices()[0]
+    log(f"[bench] device: {dev}")
+    # tiny warmup: the first device readback in a process can be very slow
+    # through the tunnel — get it out of the way
+    _ = float(jnp.sum(jnp.ones((8, 128))))
+
+    n_grid = 1000
+    baseline_solve_s = 2.956       # results.txt:93-95 (poisson1000, gpu P)
+    baseline_setup_gpu_s = 0.36    # results.txt:35 (GPU L4 setup)
+
+    t0 = time.perf_counter()
+    lap1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n_grid, n_grid),
+                    format="csr")
+    eye = sp.identity(n_grid, format="csr")
+    a_sp = (sp.kron(lap1, eye) + sp.kron(eye, lap1)).tocsr()
+    a = CSR.from_scipy(a_sp)
+    log(f"[bench] matrix: n={a.nrows} nnz={a.nnz} "
+        f"({time.perf_counter()-t0:.2f}s to generate)")
+
+    t0 = time.perf_counter()
+    ell = a.to_ell(dtype=jnp.float32)
+    jax.block_until_ready(ell.vals)
+    log(f"[bench] H2D + pack ELL: {time.perf_counter()-t0:.2f}s")
+
+    cfg = HierarchyConfig(
+        max_coarse_size=512,
+        aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0))
+
+    # --- setup phase (aggregation) ---
+    t0 = time.perf_counter()
+    setup = build_amg_setup(ell, cfg)
+    jax.block_until_ready(setup.matrices[-1].vals)
+    setup_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    setup = build_amg_setup(ell, cfg)
+    jax.block_until_ready(setup.matrices[-1].vals)
+    setup_warm = time.perf_counter() - t0
+    sizes = [m.nrows for m in setup.matrices]
+    log(f"[bench] setup: cold={setup_cold:.3f}s warm={setup_warm:.3f}s "
+        f"levels={sizes}")
+
+    # --- hierarchy build (smoothers + dense coarse LU) ---
+    t0 = time.perf_counter()
+    hier = build_hierarchy(setup.matrices[0], setup.level_labels,
+                           setup.matrices[1:], smoother_kind="chebyshev",
+                           cycle="vcycle", pre_smooth=1, post_smooth=1)
+    jax.block_until_ready(hier.coarse.lu)
+    hier_s = time.perf_counter() - t0
+    log(f"[bench] hierarchy build: {hier_s:.3f}s")
+
+    # --- solve phase ---
+    rs = np.random.RandomState(0)
+    b = rs.rand(a.nrows)
+    res = solve_hierarchy(hier, b, method="bicgstab", tol=1e-6,
+                          maxiter=200)
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = solve_hierarchy(hier, b, method="bicgstab", tol=1e-6,
+                          maxiter=200)
+    jax.block_until_ready(res.x)
+    solve_s = time.perf_counter() - t0
+    log(f"[bench] solve: {solve_s:.3f}s iters={int(res.iterations)} "
+        f"relres={float(res.relres):.2e} status={int(res.status)}")
+
+    # --- SpMV speed-of-light probe ---
+    x = pad_vector(rs.rand(a.nrows), ell.npad, jnp.float32)
+    spmv = jax.jit(ops.spmv)
+    y = spmv(ell, x); jax.block_until_ready(y)
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = spmv(ell, y)
+    jax.block_until_ready(y)
+    spmv_s = (time.perf_counter() - t0) / iters
+    nnz_per_s = a.nnz / spmv_s
+    log(f"[bench] SpMV: {spmv_s*1e3:.3f} ms → {nnz_per_s/1e9:.2f} Gnnz/s")
+
+    details = {
+        "matrix": f"poisson{n_grid}", "n": a.nrows, "nnz": a.nnz,
+        "setup_cold_s": setup_cold, "setup_warm_s": setup_warm,
+        "setup_vs_gpu_baseline": baseline_setup_gpu_s / setup_warm,
+        "hierarchy_s": hier_s,
+        "solve_s": solve_s, "iterations": int(res.iterations),
+        "relres": float(res.relres),
+        "levels": sizes,
+        "spmv_ms": spmv_s * 1e3, "spmv_gnnz_s": nnz_per_s / 1e9,
+        "solve_vs_baseline": baseline_solve_s / solve_s,
+    }
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+    log(f"[bench] details: {json.dumps(details)}")
+
+    print(json.dumps({
+        "metric": "poisson1000_mg_bicgstab_solve_wallclock",
+        "value": round(solve_s, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline_solve_s / solve_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

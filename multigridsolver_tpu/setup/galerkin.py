@@ -28,8 +28,7 @@ from ..sparse.formats import ELL
 
 def galerkin_dense(a: ELL, labels: jnp.ndarray, nc_pad: int) -> jnp.ndarray:
     """Dense Ac (nc_pad, nc_pad) by scatter-add over A's stored slots."""
-    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
-    li = jnp.take(labels, ri, axis=0)            # (n_pad, K)
+    li = labels[None, :] + jnp.zeros_like(a.cols)   # (K, n_pad)
     lj = jnp.take(labels, a.cols, axis=0)
     valid = a.slot_mask() & (li >= 0) & (lj >= 0)
     v = jnp.where(valid, a.vals, 0.0)
@@ -42,10 +41,9 @@ def galerkin_dense(a: ELL, labels: jnp.ndarray, nc_pad: int) -> jnp.ndarray:
 def coarse_coo(a: ELL, labels: jnp.ndarray):
     """Relabelled COO triplets of Ac, unreduced, with validity mask.
 
-    Returns (li, lj, v, valid) each of shape (n_pad * K,).
+    Returns (li, lj, v, valid) each of shape (K * n_pad,).
     """
-    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
-    li = jnp.take(labels, ri, axis=0)
+    li = labels[None, :] + jnp.zeros_like(a.cols)
     lj = jnp.take(labels, a.cols, axis=0)
     valid = a.slot_mask() & (li >= 0) & (lj >= 0)
     v = jnp.where(valid, a.vals, 0.0)
@@ -64,17 +62,16 @@ def galerkin_ell_arrays(a: ELL, labels: jnp.ndarray, nc: int, kc: int):
     """
     li, lj, v, valid = coarse_coo(a, labels)
     m = li.shape[0]
-    # sort by composite row-major key; invalid entries sort to the end
-    big = jnp.int64(nc) * jnp.int64(nc)
-    key = jnp.where(valid, li.astype(jnp.int64) * nc + lj.astype(jnp.int64),
-                    big)
-    order = jnp.argsort(key)
-    key = key[order]
-    v = v[order]
-    valid_s = key < big
-    # runs of equal keys = unique coarse entries
-    newrun = jnp.concatenate(
-        [valid_s[:1], (key[1:] != key[:-1]) & valid_s[1:]])
+    # lexicographic stable sort by (row, col); invalid entries get row = nc
+    # and sort to the end.  Two int32 keys instead of one int64 composite —
+    # int64 is emulated (slow) on TPU.
+    li = jnp.where(valid, li, nc).astype(jnp.int32)
+    lj = jnp.where(valid, lj, nc).astype(jnp.int32)
+    li, lj, v = jax.lax.sort((li, lj, v), num_keys=2, is_stable=True)
+    valid_s = li < nc
+    # runs of equal (row, col) = unique coarse entries
+    same = (li[1:] == li[:-1]) & (lj[1:] == lj[:-1])
+    newrun = jnp.concatenate([valid_s[:1], ~same & valid_s[1:]])
     run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1
     nnz_c = jnp.sum(newrun.astype(jnp.int32))
     # segment-sum values into runs (invalid entries carry v == 0 and are
@@ -82,13 +79,15 @@ def galerkin_ell_arrays(a: ELL, labels: jnp.ndarray, nc: int, kc: int):
     # are valid and unique — in which case there are no invalid entries)
     seg = jnp.where(valid_s, run_id, m - 1)
     sums = jax.ops.segment_sum(v, seg, num_segments=m)
-    # the first entry of each run deposits the run's key
-    run_keys = jnp.full((m,), big, dtype=jnp.int64)
-    run_keys = run_keys.at[jnp.where(newrun, run_id, m - 1)].min(
-        jnp.where(newrun, key, big))
-    run_valid = run_keys < big
-    rows_c = jnp.where(run_valid, run_keys // nc, 0).astype(jnp.int32)
-    cols_c = jnp.where(run_valid, run_keys % nc, 0).astype(jnp.int32)
+    # the first entry of each run deposits the run's (row, col)
+    dump = jnp.where(newrun, run_id, m - 1)
+    rows_c = jnp.full((m,), nc, jnp.int32).at[dump].min(
+        jnp.where(newrun, li, nc))
+    cols_c = jnp.full((m,), nc, jnp.int32).at[dump].min(
+        jnp.where(newrun, lj, nc))
+    run_valid = rows_c < nc
+    rows_c = jnp.where(run_valid, rows_c, 0)
+    cols_c = jnp.where(run_valid, cols_c, 0)
     # coarse row degrees and the slot of each run within its row (runs are
     # key-sorted, hence contiguous and column-sorted within a row)
     rownnz = jax.ops.segment_sum(run_valid.astype(jnp.int32), rows_c,
@@ -99,14 +98,14 @@ def galerkin_ell_arrays(a: ELL, labels: jnp.ndarray, nc: int, kc: int):
     in_range = run_valid & (slot < kc)
     safe_r = jnp.where(in_range, rows_c, 0)
     safe_s = jnp.where(in_range, slot, 0)
-    cols = jnp.zeros((nc, kc), dtype=jnp.int32)
-    vals = jnp.zeros((nc, kc), dtype=a.vals.dtype)
-    cols = cols.at[safe_r, safe_s].add(jnp.where(in_range, cols_c, 0))
-    vals = vals.at[safe_r, safe_s].add(jnp.where(in_range, sums, 0.0))
+    cols = jnp.zeros((kc, nc), dtype=jnp.int32)
+    vals = jnp.zeros((kc, nc), dtype=a.vals.dtype)
+    cols = cols.at[safe_s, safe_r].add(jnp.where(in_range, cols_c, 0))
+    vals = vals.at[safe_s, safe_r].add(jnp.where(in_range, sums, 0.0))
     max_degree = jnp.max(rownnz)
     # host re-runs with a larger kc when max_degree > kc (overflow dropped)
     rownnz_clamped = jnp.minimum(rownnz, kc)
-    info = jnp.stack([nnz_c.astype(jnp.int64), max_degree.astype(jnp.int64)])
+    info = jnp.stack([nnz_c.astype(jnp.int32), max_degree.astype(jnp.int32)])
     return cols, vals, rownnz_clamped, info
 
 

@@ -47,12 +47,12 @@ def _best_neighbor(a: ELL, mu: jnp.ndarray, allowed: jnp.ndarray,
 
     Returns (npad,) int32: proposed partner or -1.
     """
-    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
+    ri = a.row_iota()
     cand = allowed & jnp.take(available, a.cols, axis=0) \
-                   & available[:, None]
+                   & available[None, :]
     inf = jnp.asarray(jnp.inf, mu.dtype)
     mu_c = jnp.where(cand, mu, inf)
-    best_mu = jnp.min(mu_c, axis=1, keepdims=True)          # (n, 1)
+    best_mu = jnp.min(mu_c, axis=0, keepdims=True)          # (1, n)
     # Among slots achieving best_mu, break ties by a *hashed* canonical
     # edge key, identical from both endpoints.  A positional tie-break
     # (e.g. smallest index) creates directional cascades — on a row-major
@@ -61,20 +61,21 @@ def _best_neighbor(a: ELL, mu: jnp.ndarray, allowed: jnp.ndarray,
     # guarantee of expected O(log n) rounds.
     lo = jnp.minimum(ri, a.cols)
     hi = jnp.maximum(ri, a.cols)
-    canon = lo.astype(jnp.uint32) * jnp.uint32(2654435761) + hi.astype(jnp.uint32)
+    canon = (lo.astype(jnp.uint32) * jnp.uint32(2654435761)
+             + hi.astype(jnp.uint32))
     h = canon
     h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
     h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
     h = h ^ (h >> 16)
     tie = cand & (mu_c == best_mu)
-    # 64-bit composite: (hash31 << 32) | canonical-id — a strict order
-    # (hash masked to 31 bits so the shift cannot overflow int64)
-    ekey = ((h & jnp.uint32(0x7FFFFFFF)).astype(jnp.int64) << 32) \
-        | canon.astype(jnp.int64)
-    ekey = jnp.where(tie, ekey, jnp.iinfo(jnp.int64).max)
-    best_slot = jnp.argmin(ekey, axis=1)                     # (n,)
-    has = jnp.any(tie, axis=1)
-    partner = jnp.take_along_axis(a.cols, best_slot[:, None], axis=1)[:, 0]
+    # int32-safe 31-bit hash key (int64 is emulated/slow on TPU); a hash
+    # collision within one node's K candidates is ~K·2⁻³¹-rare and at
+    # worst costs a stalled round (leftovers become singletons)
+    ekey = (h & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    ekey = jnp.where(tie, ekey, jnp.iinfo(jnp.int32).max)
+    best_slot = jnp.argmin(ekey, axis=0)                     # (n,)
+    has = jnp.any(tie, axis=0)
+    partner = jnp.take_along_axis(a.cols, best_slot[None, :], axis=0)[0]
     return jnp.where(has, partner, -1)
 
 

@@ -39,9 +39,9 @@ class StrengthData(NamedTuple):
     diag: jnp.ndarray       # (npad,) aᵢᵢ
     si: jnp.ndarray         # (npad,) sᵢ
     excluded: jnp.ndarray   # (npad,) bool — G0 ∪ trspos ∪ padding
-    mu: jnp.ndarray         # (npad, K) μ per stored slot (junk on invalid)
-    allowed: jnp.ndarray    # (npad, K) bool — pair candidate mask
-    vals_t: jnp.ndarray     # (npad, K) aⱼᵢ per slot
+    mu: jnp.ndarray         # (K, npad) μ per stored slot (junk on invalid)
+    allowed: jnp.ndarray    # (K, npad) bool — pair candidate mask
+    vals_t: jnp.ndarray     # (K, npad) aⱼᵢ per slot
 
 
 def si_vector(a: ELL) -> jnp.ndarray:
@@ -60,19 +60,19 @@ def g0_mask(a: ELL, diag: jnp.ndarray, ktg: float,
 
 def trspos_mask(a: ELL, diag: jnp.ndarray, trspos: float) -> jnp.ndarray:
     """True for nodes with a positive off-diagonal > trspos · aᵢᵢ."""
-    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
-    off = a.slot_mask() & (a.cols != ri)
-    pos_max = jnp.max(jnp.where(off, a.vals, -jnp.inf), axis=1)
+    off = a.slot_mask() & (a.cols != a.row_iota())
+    pos_max = jnp.max(jnp.where(off, a.vals, -jnp.inf), axis=0)
     return pos_max > trspos * diag
 
 
 def mu_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
              vals_t: jnp.ndarray) -> jnp.ndarray:
-    """μ(i, j) for every stored slot (i → j)."""
-    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
-    aii = jnp.take(diag, ri, axis=0)
+    """μ(i, j) for every stored slot (i → j).  Row-side quantities are
+    plain broadcasts (the row index is the minor axis); only the j side
+    needs a gather."""
+    aii = diag[None, :]
     ajj = jnp.take(diag, a.cols, axis=0)
-    s_i = jnp.take(si, ri, axis=0)
+    s_i = si[None, :]
     s_j = jnp.take(si, a.cols, axis=0)
     aij = a.vals
     aji = vals_t
@@ -85,8 +85,7 @@ def mu_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
 def feasible_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray) -> jnp.ndarray:
     """aᵢᵢ − sᵢ + aⱼⱼ − sⱼ ≥ 0 per slot (``AGMG.cpp:159``,
     ``Aggregation.cu:157-159``)."""
-    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
-    lhs = (jnp.take(diag, ri, axis=0) - jnp.take(si, ri, axis=0)
+    lhs = (diag[None, :] - si[None, :]
            + jnp.take(diag, a.cols, axis=0) - jnp.take(si, a.cols, axis=0))
     return lhs >= 0.0
 
@@ -121,14 +120,13 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
     excl = excl | ~rowmask
     vals_t = ops.transposed_slot_values(a)
     mu = mu_slots(a, diag, si, vals_t)
-    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
-    nondiag = a.slot_mask() & (a.cols != ri)
+    nondiag = a.slot_mask() & (a.cols != a.row_iota())
     # stored-but-zero entries are not graph edges when the symmetrised
     # coupling vanishes; the reference checks A(i,j) != 0 (AGMG.cpp:155)
     edge = nondiag & ((a.vals != 0.0) | (vals_t != 0.0))
     allowed = (edge
                & (mu > 0.0) & (mu <= ktg)
-               & ~jnp.take(excl, ri, axis=0)
+               & ~excl[None, :]
                & ~jnp.take(excl, a.cols, axis=0)
                & feasible_slots(a, diag, si))
     return StrengthData(diag=diag, si=si, excluded=excl, mu=mu,

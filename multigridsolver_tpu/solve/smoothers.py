@@ -150,7 +150,7 @@ def chebyshev_apply(a: ELL, d: jnp.ndarray, lmax, b, x, degree: int,
 
 def split_lower_strict(a: ELL):
     """Masks for the strictly-lower / strictly-upper parts of A's slots."""
-    ri = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
+    ri = a.row_iota()
     mask = a.slot_mask()
     lower = mask & (a.cols < ri)
     upper = mask & (a.cols > ri)
@@ -170,7 +170,7 @@ def gs2_apply(a: ELL, d: jnp.ndarray, b, x, sweeps: int, inner: int):
 
     def tri_apply(masked_vals, z):
         gathered = jnp.take(z, a.cols, axis=0)
-        return jnp.sum(masked_vals * gathered, axis=1)
+        return jnp.sum(masked_vals * gathered, axis=0)
 
     lvals = jnp.where(lower, a.vals, 0.0)
     uvals = jnp.where(upper, a.vals, 0.0)

@@ -84,7 +84,7 @@ class TestStrength:
         mu_of = {}
         for i in range(a.nrows):
             for s in range(nnzr[i]):
-                mu_of[(i, cols[i, s])] = mu[i, s]
+                mu_of[(i, cols[s, i])] = mu[s, i]
         for (i, j), v in mu_of.items():
             if (j, i) in mu_of and i != j:
                 assert v == mu_of[(j, i)], (i, j)

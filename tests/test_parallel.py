@@ -1,0 +1,79 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import conftest
+from multigridsolver_tpu.sparse import ops
+from multigridsolver_tpu.parallel import (make_row_mesh, shard_ell,
+                                          shard_hierarchy, shard_vector)
+from multigridsolver_tpu.setup.prolongation import p_csr_from_labels
+from multigridsolver_tpu.solve import two_level_from_p, solve_hierarchy
+from multigridsolver_tpu.solve.api import pad_vector
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    return make_row_mesh(8)
+
+
+class TestShardedSpMV:
+    def test_matches_single_device(self, mesh):
+        a = conftest.poisson2d_csr(20)
+        ell = a.to_ell(dtype=jnp.float64)
+        ell_sh = shard_ell(ell, mesh)
+        rs = np.random.RandomState(0)
+        x = rs.randn(ell_sh.npad)
+        x[a.shape[1]:] = 0.0
+        y_ref = np.asarray(ops.spmv(ell, jnp.asarray(x[: ell.npad])))
+        xs = shard_vector(jnp.asarray(x), mesh)
+        y = np.asarray(jax.jit(ops.spmv)(ell_sh, xs))
+        np.testing.assert_allclose(y[: a.shape[0]], y_ref[: a.shape[0]],
+                                   rtol=1e-13)
+
+    def test_sharding_layout(self, mesh):
+        a = conftest.poisson2d_csr(20)
+        ell_sh = shard_ell(a.to_ell(dtype=jnp.float64), mesh)
+        assert ell_sh.npad % (8 * 8) == 0
+        shard_rows = {s.data.shape[1] for s in ell_sh.vals.addressable_shards}
+        assert shard_rows == {ell_sh.npad // 8}
+
+
+class TestShardedSolve:
+    def test_two_level_sharded_matches(self, mesh):
+        a = conftest.poisson2d_csr(24)
+        n = a.shape[0]
+        labels = (np.arange(n) // 4).astype(np.int32)
+        p = p_csr_from_labels(labels, n // 4)
+        hier = two_level_from_p(a, p, smoother_kind="chebyshev",
+                                dtype=jnp.float64)
+        rs = np.random.RandomState(1)
+        b = rs.rand(n)
+        res_ref = solve_hierarchy(hier, b, method="cg", tol=1e-10)
+        hier_sh = shard_hierarchy(hier, mesh)
+        res_sh = solve_hierarchy(hier_sh, b, method="cg", tol=1e-10)
+        assert int(res_sh.status) == 0
+        # same preconditioner ⇒ same iteration count and same solution
+        assert int(res_sh.iterations) == int(res_ref.iterations)
+        np.testing.assert_allclose(np.asarray(res_sh.x),
+                                   np.asarray(res_ref.x), rtol=1e-9,
+                                   atol=1e-11)
+
+    def test_precondition_identical(self, mesh):
+        a = conftest.poisson2d_csr(16)
+        n = a.shape[0]
+        labels = (np.arange(n) // 2).astype(np.int32)
+        p = p_csr_from_labels(labels, n // 2)
+        hier = two_level_from_p(a, p, smoother_kind="gs2",
+                                dtype=jnp.float64)
+        hier_sh = shard_hierarchy(hier, mesh)
+        rs = np.random.RandomState(2)
+        v_ref = pad_vector(rs.rand(n), hier.levels[0].a.npad, jnp.float64)
+        v_sh = pad_vector(np.asarray(v_ref)[:n], hier_sh.levels[0].a.npad,
+                          jnp.float64)
+        out_ref = np.asarray(jax.jit(hier.precondition)(v_ref))
+        out_sh = np.asarray(jax.jit(hier_sh.precondition)(v_sh))
+        np.testing.assert_allclose(out_sh[:n], out_ref[:n], rtol=1e-11,
+                                   atol=1e-13)

@@ -99,7 +99,7 @@ class TestElementAccess:
         for i in range(a.shape[0]):
             for s in range(ell.k):
                 if s < nnzr[i]:
-                    assert got[i, s] == pytest.approx(ad[cols[i, s], i])
+                    assert got[s, i] == pytest.approx(ad[cols[s, i], i])
 
     def test_to_dense(self):
         csr, ell, a = make(seed=17)
