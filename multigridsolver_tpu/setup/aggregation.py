@@ -34,7 +34,7 @@ from ..utils.timing import PhaseTimer
 from .strength import compute_strength
 from .matching import (mutual_match, labels_from_pairs, greedy_match_host,
                        cmk_order_host)
-from .galerkin import galerkin_ell
+from .galerkin import galerkin_ell, galerkin_pair_ell
 from .prolongation import compose_labels
 
 
@@ -61,7 +61,33 @@ def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
                           trspos=trspos, fracnegrcsum=fracnegrcsum)
     paired = mutual_match(a, st, max_rounds=max_rounds)
     labels, nc = labels_from_pairs(paired, st.excluded)
-    return labels, nc
+    return paired, labels, nc
+
+
+def paired_from_labels_host(labels_np: "np.ndarray") -> "np.ndarray":
+    """Reconstruct the pair array from pairwise labels (host): members of a
+    shared label become partners; singletons pair with themselves."""
+    n = labels_np.shape[0]
+    paired = np.full(n, -1, np.int64)
+    order = np.argsort(labels_np, kind="stable")
+    lab_sorted = labels_np[order]
+    first = np.ones(n, bool)
+    first[1:] = lab_sorted[1:] != lab_sorted[:-1]
+    # positions of aggregate starts in the sorted order
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, n))
+    for s, sz in zip(starts, sizes):
+        if lab_sorted[s] < 0:
+            continue
+        members = order[s: s + sz]
+        if sz == 1:
+            paired[members[0]] = members[0]
+        elif sz == 2:
+            paired[members[0]] = members[1]
+            paired[members[1]] = members[0]
+        else:
+            raise ValueError("labels are not pairwise")
+    return paired
 
 
 def _greedy_pass(a: ELL, first_pass: bool, cfg: AggregationConfig):
@@ -89,18 +115,22 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
 
     def run_pass(mat: ELL, first: bool):
         if cfg.matching == "greedy":
-            return _greedy_pass(mat, first, cfg)
-        labels, nc = _match_pass(mat, first, float(cfg.ktg),
-                                 float(cfg.checkdd), float(cfg.trspos),
-                                 float(cfg.fracnegrcsum),
-                                 int(cfg.max_matching_rounds))
-        return labels, int(nc)
+            labels, nc = _greedy_pass(mat, first, cfg)
+            paired = jnp.asarray(
+                paired_from_labels_host(np.asarray(labels)), jnp.int32)
+            return paired, labels, nc
+        paired, labels, nc = _match_pass(mat, first, float(cfg.ktg),
+                                         float(cfg.checkdd),
+                                         float(cfg.trspos),
+                                         float(cfg.fracnegrcsum),
+                                         int(cfg.max_matching_rounds))
+        return paired, labels, int(nc)
 
     with timer.phase("aggregation.pass1"):
-        labels, nc = run_pass(a, True)
+        paired, labels, nc = run_pass(a, True)
     cum_labels = labels
     with timer.phase("aggregation.galerkin1"):
-        ac = galerkin_ell(a, cum_labels, nc)
+        ac = galerkin_pair_ell(a, paired, labels, nc)
     passes.append(PassInfo(nc=nc, nnz=ac.nnz))
 
     for s in range(2, cfg.npass + 1):
@@ -109,10 +139,10 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         if cfg.max_restriction and ac.nrows < cfg.max_restriction:
             break
         with timer.phase(f"aggregation.pass{s}"):
-            pass_labels, nc = run_pass(ac, False)
+            paired, pass_labels, nc = run_pass(ac, False)
         cum_labels = compose_labels(cum_labels, pass_labels)
         with timer.phase(f"aggregation.galerkin{s}"):
-            ac = galerkin_ell(ac, pass_labels, nc)
+            ac = galerkin_pair_ell(ac, paired, pass_labels, nc)
         passes.append(PassInfo(nc=nc, nnz=ac.nnz))
 
     return AggregationResult(labels=cum_labels, nc=nc, coarse=ac,

@@ -123,5 +123,96 @@ def galerkin_ell(a: ELL, labels: jnp.ndarray, nc_true: int,
         if max_deg <= kc:
             break
         kc = max_deg
+    # compact the slot axis to the true max degree: the 2·K upper bound
+    # would otherwise double every level, and every O(K²) op downstream
+    # (transposed_slot_values) pays for the dead slots
+    if max_deg < kc:
+        kc_eff = max(max_deg, 1)
+        cols = cols[:kc_eff]
+        vals = vals[:kc_eff]
+        rownnz = jnp.minimum(rownnz, kc_eff)
     return ELL(cols=cols, vals=vals, rownnz=rownnz.astype(jnp.int32),
+               nrows=nc_true, ncols=nc_true)
+
+def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
+                         nc: int):
+    """Pairwise-structured Galerkin: merge each aggregate's ≤ 2 member rows.
+
+    After a *pairwise* pass every aggregate has at most two members (leader
+    ℓ, partner p — possibly ℓ = p), so coarse row c is the relabelled merge
+    of fine rows ℓ(c) and p(c).  This needs only gathers, one tiny
+    fixed-extent sort along the slot axis (2K ≤ 64 elements per lane) and
+    local run-length sums — no global nnz-sized sort, which costs tens of
+    seconds of Mosaic compile time and O(nnz log nnz) runtime in the
+    general path above.
+
+    ``nc`` is the padded coarse size.  Returns (cols, vals, rownnz, info)
+    with slot width 2K; the host compacts to the true max degree.
+    """
+    k = a.k
+    npad = a.npad
+    # leader of each aggregate: the smaller member index (matching's
+    # numbering rule); partner via `paired`
+    nodes = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)[0]
+    active = labels >= 0
+    lead = jnp.minimum(nodes, jnp.where(paired >= 0, paired, nodes))
+    is_leader = active & (lead == nodes)
+    leader_of = jnp.zeros((nc,), jnp.int32).at[
+        jnp.where(is_leader, labels, nc - 1)].max(
+        jnp.where(is_leader, nodes, 0))
+    partner_of = jnp.take(paired, leader_of, axis=0)
+    partner_of = jnp.where(partner_of >= 0, partner_of, leader_of)
+    has_partner = partner_of != leader_of
+
+    def member_rows(members):
+        cols_m = jnp.take(a.cols, members, axis=1)       # (K, nc)
+        vals_m = jnp.take(a.vals, members, axis=1)
+        nnz_m = jnp.take(a.rownnz, members, axis=0)      # (nc,)
+        sl = jax.lax.broadcasted_iota(jnp.int32, cols_m.shape, 0)
+        ok = sl < nnz_m[None, :]
+        lc = jnp.take(labels, cols_m, axis=0)            # coarse col labels
+        ok = ok & (lc >= 0)
+        return jnp.where(ok, lc, nc), jnp.where(ok, vals_m, 0.0)
+
+    c1, v1 = member_rows(leader_of)
+    c2, v2 = member_rows(partner_of)
+    c2 = jnp.where(has_partner[None, :], c2, nc)         # mask duplicates
+    v2 = jnp.where(has_partner[None, :], v2, 0.0)
+    cand_c = jnp.concatenate([c1, c2], axis=0)           # (2K, nc)
+    cand_v = jnp.concatenate([v1, v2], axis=0)
+    # sort each column's 2K candidates by coarse col (invalid = nc last)
+    cand_c, cand_v = jax.lax.sort((cand_c, cand_v), dimension=0, num_keys=1)
+    # run-length sum of equal adjacent cols: suffix accumulation (2K steps,
+    # statically unrolled — 2K ≤ 64)
+    m2 = 2 * k
+    merged = cand_v
+    for s in range(m2 - 2, -1, -1):
+        same = cand_c[s] == cand_c[s + 1]
+        merged = merged.at[s].add(jnp.where(same, merged[s + 1], 0.0))
+    first = jnp.concatenate([
+        jnp.ones((1, cand_c.shape[1]), bool),
+        cand_c[1:] != cand_c[:-1]], axis=0)
+    keep = first & (cand_c < nc)
+    # compact kept entries to the top slots per column
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=0) - 1
+    rownnz = jnp.sum(keep.astype(jnp.int32), axis=0)
+    out_c = jnp.zeros((m2, cand_c.shape[1]), jnp.int32)
+    out_v = jnp.zeros((m2, cand_c.shape[1]), a.vals.dtype)
+    ci = jax.lax.broadcasted_iota(jnp.int32, cand_c.shape, 1)
+    safe_pos = jnp.where(keep, pos, m2 - 1)
+    out_c = out_c.at[safe_pos, ci].add(jnp.where(keep, cand_c, 0))
+    out_v = out_v.at[safe_pos, ci].add(jnp.where(keep, merged, 0.0))
+    info = jnp.stack([jnp.sum(rownnz), jnp.max(rownnz)]).astype(jnp.int32)
+    return out_c, out_v, rownnz, info
+
+
+def galerkin_pair_ell(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
+                      nc_true: int, row_pad: int = 8) -> ELL:
+    """Host driver for the pairwise-merge Galerkin path."""
+    nc_pad = max(((nc_true + row_pad - 1) // row_pad) * row_pad, row_pad)
+    cols, vals, rownnz, info = jax.jit(
+        galerkin_pair_arrays, static_argnums=(3,))(a, paired, labels, nc_pad)
+    kc_eff = max(int(info[1]), 1)
+    return ELL(cols=cols[:kc_eff], vals=vals[:kc_eff],
+               rownnz=jnp.minimum(rownnz, kc_eff).astype(jnp.int32),
                nrows=nc_true, ncols=nc_true)
