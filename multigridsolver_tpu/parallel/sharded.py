@@ -70,6 +70,21 @@ def shard_ell(a: ELL, mesh: Mesh) -> ELL:
                nrows=a.nrows, ncols=a.ncols)
 
 
+def shard_operator(a, mesh: Mesh):
+    """Row-shard a level operator (ELL or DIA+ELL hybrid)."""
+    from ..sparse.hybrid import HYB
+    if isinstance(a, HYB):
+        ndev = mesh.devices.size
+        npad = _round_up(a.npad, ndev * 8)
+        dvals = jnp.pad(a.dvals, ((0, 0), (0, npad - a.npad)))
+        rows2d = NamedSharding(mesh, P(None, "rows"))
+        ell = shard_ell(repad_ell(a.ell, ndev * 8), mesh) \
+            if a.ell is not None else None
+        return HYB(dvals=jax.device_put(dvals, rows2d), ell=ell,
+                   offsets=a.offsets, nrows=a.nrows, ncols=a.ncols)
+    return shard_ell(a, mesh)
+
+
 def replicate(tree, mesh: Mesh):
     rep = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
@@ -92,7 +107,7 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh,
     new_levels = []
     for idx, lvl in enumerate(hier.levels):
         if idx < shard_levels:
-            a = shard_ell(lvl.a, mesh)
+            a = shard_operator(lvl.a, mesh)
             labels = lvl.labels
             if labels.shape[0] < a.npad:
                 labels = jnp.concatenate([

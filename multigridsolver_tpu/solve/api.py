@@ -71,7 +71,8 @@ def solve_hierarchy(hier: Hierarchy, b: np.ndarray | jnp.ndarray,
     and the solution is returned un-padded."""
     a = hier.levels[0].a if hier.levels else hier.coarse.a
     n = a.nrows
-    bp = pad_vector(np.asarray(b), a.npad, dtype=a.vals.dtype)
+    dtype = a.dtype if hasattr(a, "offsets") else a.vals.dtype
+    bp = pad_vector(np.asarray(b), a.npad, dtype=dtype)
     res = _solve_jit(hier, bp, method, float(tol), int(maxiter))
     return krylov.SolveResult(x=res.x[:n], iterations=res.iterations,
                               relres=res.relres, status=res.status)

@@ -163,13 +163,20 @@ def _kcycle_accel(hier: Hierarchy, idx: int, b: jnp.ndarray) -> jnp.ndarray:
 def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
                     coarse_ops: list[ELL], smoother_kind: str = "chebyshev",
                     cycle: str = "vcycle", pre_smooth: int = 0,
-                    post_smooth: int = 1, **smoother_kw) -> Hierarchy:
+                    post_smooth: int = 1, use_hybrid: bool = True,
+                    **smoother_kw) -> Hierarchy:
     """Assemble a Hierarchy from setup outputs.
 
     ``level_labels[l]``: labels taking level-l row space → level-(l+1)
     aggregates.  ``coarse_ops[l]``: the level-(l+1) operator (so
     ``len(coarse_ops) == len(level_labels)``).
+
+    ``use_hybrid``: repack each level operator into the DIA+ELL hybrid so
+    solve-phase SpMVs run at vector speed instead of gather speed (20x on
+    the stencil suites — see sparse/hybrid.py).
     """
+    from ..sparse import hybrid as hyb
+
     mats = [a] + list(coarse_ops)
     levels = []
     for l, labels in enumerate(level_labels):
@@ -178,8 +185,9 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
         if lab.shape[0] < fine.npad:
             lab = jnp.concatenate([
                 lab, jnp.full((fine.npad - lab.shape[0],), -1, jnp.int32)])
-        sm = make_smoother(fine, kind=smoother_kind, **smoother_kw)
-        levels.append(Level(a=fine, labels=lab, smoother=sm,
+        op = hyb.hybrid_from_ell(fine) if use_hybrid else fine
+        sm = make_smoother(op, kind=smoother_kind, **smoother_kw)
+        levels.append(Level(a=op, labels=lab, smoother=sm,
                             nc_pad=coarse.npad))
     return Hierarchy(levels=tuple(levels),
                      coarse=make_coarse_solve(mats[-1]),

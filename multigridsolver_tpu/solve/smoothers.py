@@ -29,15 +29,31 @@ import jax
 import jax.numpy as jnp
 
 from ..sparse.formats import ELL
-from ..sparse import ops
+from ..sparse import ops, hybrid
 
 
-def jacobi_diag(a: ELL, l1: bool = False) -> jnp.ndarray:
+def _is_hyb(a) -> bool:
+    return hasattr(a, "offsets")
+
+
+def _extract_diag(a):
+    return hybrid.extract_diag(a) if _is_hyb(a) else ops.extract_diag(a)
+
+
+def _row_mask(a):
+    return hybrid.row_mask(a) if _is_hyb(a) else a.row_mask()
+
+
+def jacobi_diag(a, l1: bool = False) -> jnp.ndarray:
     """Smoothing diagonal: plain aᵢᵢ, or the l1-Jacobi safeguard
     dᵢ = aᵢᵢ + Σⱼ≠ᵢ|aᵢⱼ| (guaranteed convergent for any matrix)."""
-    d = ops.extract_diag(a)
+    d = _extract_diag(a)
     if l1:
-        d = d + ops.row_sum(a, absolute=True, skip_diag=True) - jnp.abs(d)
+        if _is_hyb(a):
+            d = d + hybrid.row_sum_abs_offdiag(a)
+        else:
+            d = d + ops.row_sum(a, absolute=True, skip_diag=True) \
+                - jnp.abs(d)
     # padded rows have d == 0; make the inverse harmless
     return jnp.where(d != 0.0, d, 1.0)
 
@@ -57,8 +73,9 @@ def estimate_lmax(a: ELL, d: jnp.ndarray, iters: int = 12,
                   seed: int = 7) -> jnp.ndarray:
     """Power-iteration estimate of λmax(D⁻¹A) for Chebyshev bounds."""
     key = jax.random.PRNGKey(seed)
-    x = jax.random.normal(key, (a.npad,), dtype=a.vals.dtype)
-    x = jnp.where(a.row_mask(), x, 0.0)
+    dtype = a.dtype if _is_hyb(a) else a.vals.dtype
+    x = jax.random.normal(key, (a.npad,), dtype=dtype)
+    x = jnp.where(_row_mask(a), x, 0.0)
     dinv = 1.0 / d
 
     def body(_, carry):
@@ -67,7 +84,8 @@ def estimate_lmax(a: ELL, d: jnp.ndarray, iters: int = 12,
         lam = jnp.linalg.norm(y)
         return y / jnp.maximum(lam, 1e-30), lam
 
-    _, lam = jax.lax.fori_loop(0, iters, body, (x, jnp.array(1.0, a.vals.dtype)))
+    _, lam = jax.lax.fori_loop(0, iters, body,
+                               (x, jnp.array(1.0, dtype)))
     return lam
 
 
@@ -104,16 +122,17 @@ class Smoother:
         return self.apply(a, b, jnp.zeros_like(b))
 
 
-def make_smoother(a: ELL, kind: str = "chebyshev", sweeps: int = 2,
+def make_smoother(a, kind: str = "chebyshev", sweeps: int = 2,
                   omega: float = 0.8, degree: int = 3,
                   lmin_frac: float = 0.3, inner_sweeps: int = 2,
                   lmax_safety: float = 1.1) -> Smoother:
+    dtype = a.dtype if _is_hyb(a) else a.vals.dtype
     l1 = kind in ("l1jacobi", "chebyshev")
     d = jacobi_diag(a, l1=False if kind == "jacobi" else l1)
     if kind == "chebyshev":
         lmax = estimate_lmax(a, d) * lmax_safety
     else:
-        lmax = jnp.asarray(1.0, a.vals.dtype)
+        lmax = jnp.asarray(1.0, dtype)
     return Smoother(d=d, lmax=lmax, kind=kind, sweeps=sweeps, omega=omega,
                     degree=degree, lmin_frac=lmin_frac,
                     inner_sweeps=inner_sweeps)
@@ -157,7 +176,7 @@ def split_lower_strict(a: ELL):
     return lower, upper
 
 
-def gs2_apply(a: ELL, d: jnp.ndarray, b, x, sweeps: int, inner: int):
+def gs2_apply(a, d: jnp.ndarray, b, x, sweeps: int, inner: int):
     """Two-stage (inexact) forward/backward Gauss-Seidel.
 
     Each half-sweep needs z = (D + L)⁻¹ r; the triangular solve is replaced
@@ -165,29 +184,42 @@ def gs2_apply(a: ELL, d: jnp.ndarray, b, x, sweeps: int, inner: int):
         z ← D⁻¹ (r − L z)
     which converges because D⁻¹L is strictly triangular (nilpotent).
     """
-    lower, upper = split_lower_strict(a)
     dinv = 1.0 / d
 
-    def tri_apply(masked_vals, z):
-        gathered = jnp.take(z, a.cols, axis=0)
-        return jnp.sum(masked_vals * gathered, axis=0)
+    if _is_hyb(a):
+        def lower_apply(z):
+            return hybrid.spmv_tri(a, z, lower=True)
 
-    lvals = jnp.where(lower, a.vals, 0.0)
-    uvals = jnp.where(upper, a.vals, 0.0)
+        def upper_apply(z):
+            return hybrid.spmv_tri(a, z, lower=False)
+    else:
+        lower, upper = split_lower_strict(a)
+        lvals = jnp.where(lower, a.vals, 0.0)
+        uvals = jnp.where(upper, a.vals, 0.0)
 
-    def half(x, tri_vals):
+        def tri_apply(masked_vals, z):
+            gathered = jnp.take(z, a.cols, axis=0)
+            return jnp.sum(masked_vals * gathered, axis=0)
+
+        def lower_apply(z):
+            return tri_apply(lvals, z)
+
+        def upper_apply(z):
+            return tri_apply(uvals, z)
+
+    def half(x, tri):
         r = b - ops.spmv(a, x)
         z = dinv * r
 
         def body(_, z):
-            return dinv * (r - tri_apply(tri_vals, z))
+            return dinv * (r - tri(z))
 
         z = jax.lax.fori_loop(0, inner, body, z)
         return x + z
 
     def body(_, x):
-        x = half(x, lvals)   # forward
-        x = half(x, uvals)   # backward
+        x = half(x, lower_apply)   # forward
+        x = half(x, upper_apply)   # backward
         return x
 
     return jax.lax.fori_loop(0, sweeps, body, x)

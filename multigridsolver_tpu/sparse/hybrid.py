@@ -1,0 +1,159 @@
+"""Hybrid DIA + ELL operator — the fast SpMV format for the solve phase.
+
+XLA's TPU gather runs ~20x off the VPU ceiling (measured: 36 ms vs 1.8 ms
+for 5M nnz), because the hardware has no vector-gather from HBM.  But the
+reference's whole benchmark suite is stencil matrices — 5-point Poisson
+(``src/common/poisson.cpp``), 7-point 3D skyscraper — whose columns sit on
+a handful of constant diagonals j − i ∈ {o₁…o_D}.  Entries on those
+diagonals need NO gather: y += dval_d · shift(x, o_d) with a static roll,
+which XLA lowers to pure vector slices at full HBM bandwidth.
+
+``HYB`` stores the diagonal part as (D, n) dense value lanes plus an ELL
+remainder for off-diagonal stragglers (empty for pure stencils; the coarse
+Galerkin operators keep strong locality so most entries still land on a
+few diagonals).  The splitter takes the D most-populated offsets subject
+to a fill-efficiency bound.
+
+Used for the solve phase (SpMV-dominated: smoothers, Krylov, transfers);
+the setup phase keeps plain ELL (its cost is in strength/matching, not
+SpMV).
+"""
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .formats import CSR, ELL, _round_up
+from . import ops as ell_ops
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["dvals", "ell"],
+         meta_fields=["offsets", "nrows", "ncols"])
+@dataclass
+class HYB:
+    """offsets: static diagonal shifts (tuple of ints, may be empty);
+    dvals[d, i] = A[i, i + offsets[d]] (0 where absent / out of range);
+    ell: remainder entries (None when everything fits on the diagonals)."""
+
+    dvals: jnp.ndarray          # (D, n_pad) — D may be 0
+    ell: ELL | None
+    offsets: tuple
+    nrows: int
+    ncols: int
+
+    @property
+    def npad(self) -> int:
+        return self.dvals.shape[1]
+
+    @property
+    def dtype(self):
+        return self.dvals.dtype
+
+
+def hybrid_from_csr(a: CSR, max_diags: int = 12, min_fill: float = 0.4,
+                    row_pad: int = 8, dtype=jnp.float32,
+                    npad: int | None = None) -> HYB:
+    """Split into diagonal + remainder parts.
+
+    An offset qualifies as a diagonal if it holds at least ``min_fill · n``
+    entries (dense lanes cost n values each regardless of fill).
+    """
+    n, m = a.shape
+    n_pad = npad or max(_round_up(n, row_pad), row_pad)
+    coo = a.to_coo()
+    offs = coo.col - coo.row
+    counts = Counter(offs.tolist())
+    good = [o for o, c in counts.most_common(max_diags)
+            if c >= min_fill * n and abs(o) < n_pad]
+    good = sorted(good)
+    dvals = np.zeros((len(good), n_pad), dtype=np.float64)
+    off_index = {o: d for d, o in enumerate(good)}
+    on_dia = np.array([o in off_index for o in offs])
+    if len(good):
+        d_idx = np.array([off_index.get(o, 0) for o in offs])
+        np.add.at(dvals, (d_idx[on_dia], coo.row[on_dia]),
+                  coo.val[on_dia])
+    rest = ~on_dia
+    ell = None
+    if rest.any():
+        from .formats import COO
+        rest_csr = COO(row=coo.row[rest], col=coo.col[rest],
+                       val=coo.val[rest], shape=a.shape).to_csr()
+        ell = rest_csr.to_ell(row_pad=row_pad, dtype=dtype)
+        if ell.npad != n_pad:
+            ell = ELL(cols=jnp.pad(ell.cols,
+                                   ((0, 0), (0, n_pad - ell.npad))),
+                      vals=jnp.pad(ell.vals,
+                                   ((0, 0), (0, n_pad - ell.npad))),
+                      rownnz=jnp.pad(ell.rownnz, (0, n_pad - ell.npad)),
+                      nrows=ell.nrows, ncols=ell.ncols)
+    return HYB(dvals=jnp.asarray(dvals, dtype=dtype), ell=ell,
+               offsets=tuple(int(o) for o in good), nrows=n, ncols=m)
+
+
+def hybrid_from_ell(a: ELL, **kw) -> HYB:
+    kw.setdefault("dtype", a.vals.dtype)
+    kw.setdefault("npad", a.npad)
+    return hybrid_from_csr(a.to_csr(), **kw)
+
+
+def spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x at vector-unit speed for the diagonal part.
+
+    roll wraps around, but wrapped positions always carry dval = 0 (the
+    splitter only stores in-range entries), so no edge masking is needed.
+    """
+    y = jnp.zeros((a.npad,), dtype=x.dtype)
+    for d, o in enumerate(a.offsets):
+        y = y + a.dvals[d] * jnp.roll(x, -o)
+    if a.ell is not None:
+        y = y + ell_ops.spmv(a.ell, x)
+    return y
+
+
+def spmv_tri(a: HYB, x: jnp.ndarray, lower: bool) -> jnp.ndarray:
+    """Strictly-lower (or upper) triangular SpMV — offsets split by sign,
+    remainder masked by column index (used by two-stage Gauss-Seidel)."""
+    y = jnp.zeros((a.npad,), dtype=x.dtype)
+    for d, o in enumerate(a.offsets):
+        if (o < 0) if lower else (o > 0):
+            y = y + a.dvals[d] * jnp.roll(x, -o)
+    if a.ell is not None:
+        e = a.ell
+        ri = e.row_iota()
+        mask = e.slot_mask() & ((e.cols < ri) if lower else (e.cols > ri))
+        g = jnp.take(x, e.cols, axis=0)
+        y = y + jnp.sum(jnp.where(mask, e.vals, 0.0) * g, axis=0)
+    return y
+
+
+def extract_diag(a: HYB) -> jnp.ndarray:
+    d = jnp.zeros((a.npad,), dtype=a.dtype)
+    for i, o in enumerate(a.offsets):
+        if o == 0:
+            d = d + a.dvals[i]
+    if a.ell is not None:
+        d = d + ell_ops.extract_diag(a.ell)
+    return d
+
+
+def row_sum_abs_offdiag(a: HYB) -> jnp.ndarray:
+    """Σⱼ≠ᵢ |aᵢⱼ| per row (for the l1-Jacobi safeguard)."""
+    s = jnp.zeros((a.npad,), dtype=a.dtype)
+    for i, o in enumerate(a.offsets):
+        if o != 0:
+            s = s + jnp.abs(a.dvals[i])
+    if a.ell is not None:
+        s = s + ell_ops.row_sum(a.ell, absolute=True, skip_diag=True)
+    return s
+
+
+def row_mask(a: HYB) -> jnp.ndarray:
+    ri = jax.lax.broadcasted_iota(jnp.int32, (1, a.npad), 1)[0]
+    return ri < a.nrows

@@ -21,12 +21,16 @@ import jax.numpy as jnp
 from .formats import ELL
 
 
-def spmv(a: ELL, x: jnp.ndarray) -> jnp.ndarray:
+def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x.  ``x``: (ncols_padded,) — padded slots must be 0-safe.
 
+    Polymorphic over ELL and the DIA+ELL hybrid (fast solve-phase format).
     Invalid ELL slots have val = 0, so no masking is needed; ``cols``
     padding is 0 which is always in range.
     """
+    if hasattr(a, "offsets"):
+        from . import hybrid
+        return hybrid.spmv(a, x)
     gathered = jnp.take(x, a.cols, axis=0)          # (K, n_pad)
     return jnp.sum(a.vals * gathered, axis=0)
 
