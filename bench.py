@@ -89,7 +89,7 @@ def main():
     t0 = time.perf_counter()
     hier = build_hierarchy(setup.matrices[0], setup.level_labels,
                            setup.matrices[1:], smoother_kind="chebyshev",
-                           cycle="vcycle", pre_smooth=1, post_smooth=1)
+                           cycle="kcycle", pre_smooth=1, post_smooth=1)
     jax.block_until_ready(hier.coarse.lu)
     hier_s = time.perf_counter() - t0
     log(f"[bench] hierarchy build: {hier_s:.3f}s")
@@ -108,14 +108,15 @@ def main():
     log(f"[bench] solve: {solve_s:.3f}s iters={int(res.iterations)} "
         f"relres={float(res.relres):.2e} status={int(res.status)}")
 
-    # --- SpMV speed-of-light probe ---
-    x = pad_vector(rs.rand(a.nrows), ell.npad, jnp.float32)
+    # --- SpMV speed-of-light probe (hybrid DIA+ELL, the solve format) ---
+    a_hyb = hier.levels[0].a
+    x = pad_vector(rs.rand(a.nrows), a_hyb.npad, jnp.float32)
     spmv = jax.jit(ops.spmv)
-    y = spmv(ell, x); jax.block_until_ready(y)
+    y = spmv(a_hyb, x); jax.block_until_ready(y)
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        y = spmv(ell, y)
+        y = spmv(a_hyb, y)
     jax.block_until_ready(y)
     spmv_s = (time.perf_counter() - t0) / iters
     nnz_per_s = a.nnz / spmv_s

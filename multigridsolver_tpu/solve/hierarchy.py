@@ -185,7 +185,7 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
         if lab.shape[0] < fine.npad:
             lab = jnp.concatenate([
                 lab, jnp.full((fine.npad - lab.shape[0],), -1, jnp.int32)])
-        op = hyb.hybrid_from_ell(fine) if use_hybrid else fine
+        op = hyb.hybrid_from_ell_device(fine) if use_hybrid else fine
         sm = make_smoother(op, kind=smoother_kind, **smoother_kw)
         levels.append(Level(a=op, labels=lab, smoother=sm,
                             nc_pad=coarse.npad))

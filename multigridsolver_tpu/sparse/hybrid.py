@@ -157,3 +157,71 @@ def row_sum_abs_offdiag(a: HYB) -> jnp.ndarray:
 def row_mask(a: HYB) -> jnp.ndarray:
     ri = jax.lax.broadcasted_iota(jnp.int32, (1, a.npad), 1)[0]
     return ri < a.nrows
+
+def _candidate_offsets_from_sample(a: ELL, max_diags: int,
+                                   min_fill: float) -> list[int]:
+    """Host-side offset detection from a small row sample (tiny D2H)."""
+    n = a.nrows
+    stride = max(1, a.npad // 1024)
+    sample_cols = np.asarray(a.cols[:, ::stride])
+    sample_nnz = np.asarray(a.rownnz[::stride])
+    rows = np.arange(a.npad, dtype=np.int64)[::stride]
+    k = a.k
+    valid = (np.arange(k)[:, None] < sample_nnz[None, :]) & \
+            (rows[None, :] < n)
+    offs = sample_cols.astype(np.int64) - rows[None, :]
+    vals, counts = np.unique(offs[valid], return_counts=True)
+    nsample = max(int(valid.sum()), 1)
+    frac = counts / nsample                # fraction of sampled nnz
+    # an offset qualifies if its nnz share suggests ≥ min_fill·n entries
+    avg_k = nsample / max(len(np.unique(rows[rows < n])), 1)
+    keep = [int(o) for o, f in zip(vals, frac)
+            if f * avg_k >= min_fill and abs(int(o)) < a.npad]
+    keep = sorted(keep, key=lambda o: -frac[list(vals).index(o)])[:max_diags]
+    return sorted(keep)
+
+
+def hybrid_from_ell_device(a: ELL, max_diags: int = 12,
+                           min_fill: float = 0.4) -> HYB:
+    """Device-side DIA/ELL split: offsets detected from a sampled sliver of
+    the column array (one tiny transfer), the split itself built with
+    masked reductions and one small-extent per-row sort — no nnz-sized
+    host round-trip (the naive path pulls the whole matrix through the
+    host at tunnel bandwidth)."""
+    offsets = _candidate_offsets_from_sample(a, max_diags, min_fill)
+
+    @partial(jax.jit, static_argnames=("offs",))
+    def split(a: ELL, offs: tuple):
+        ri = a.row_iota()
+        mask = a.slot_mask()
+        slot_off = a.cols - ri
+        covered = jnp.zeros_like(mask)
+        dvals = []
+        for o in offs:
+            hit = mask & (slot_off == o)
+            dvals.append(jnp.sum(jnp.where(hit, a.vals, 0.0), axis=0))
+            covered = covered | hit
+        dvals = jnp.stack(dvals) if offs else \
+            jnp.zeros((0, a.npad), a.vals.dtype)
+        # compact the remainder: keep non-covered valid slots first
+        keep = mask & ~covered
+        key = jnp.where(keep, 0, 1).astype(jnp.int32)
+        _, rcols, rvals = jax.lax.sort(
+            (key, a.cols, a.vals), dimension=0, num_keys=1, is_stable=True)
+        rnnz = jnp.sum(keep.astype(jnp.int32), axis=0)
+        rmax = jnp.max(rnnz)
+        return dvals, rcols, rvals, rnnz, rmax
+
+    dvals, rcols, rvals, rnnz, rmax = split(a, tuple(offsets))
+    k_rest = int(rmax)
+    ell = None
+    if k_rest > 0:
+        # zero both cols and vals of invalid slots (the sorted leftovers
+        # beyond rnnz still hold covered entries' data)
+        sl = jax.lax.broadcasted_iota(jnp.int32, (k_rest, a.npad), 0)
+        ok = sl < rnnz[None, :]
+        ell = ELL(cols=jnp.where(ok, rcols[:k_rest], 0),
+                  vals=jnp.where(ok, rvals[:k_rest], 0.0),
+                  rownnz=rnnz, nrows=a.nrows, ncols=a.ncols)
+    return HYB(dvals=dvals, ell=ell, offsets=tuple(offsets),
+               nrows=a.nrows, ncols=a.ncols)
