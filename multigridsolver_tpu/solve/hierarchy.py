@@ -81,7 +81,8 @@ def make_coarse_solve(a: ELL) -> CoarseSolve:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["levels", "coarse"],
-         meta_fields=["cycle", "pre_smooth", "post_smooth", "kcycle_steps"])
+         meta_fields=["cycle", "pre_smooth", "post_smooth", "kcycle_steps",
+                      "kcycle_depth"])
 @dataclass
 class Hierarchy:
     levels: tuple[Level, ...]
@@ -90,6 +91,10 @@ class Hierarchy:
     pre_smooth: int = 0
     post_smooth: int = 1
     kcycle_steps: int = 2
+    # apply the inner-Krylov acceleration only on the finest kcycle_depth
+    # levels: the recursion multiplies work by kcycle_steps per level, so
+    # unbounded depth costs 2^L coarse visits for little extra convergence
+    kcycle_depth: int = 3
 
     @property
     def nlevels(self) -> int:
@@ -108,7 +113,8 @@ class Hierarchy:
 def _coarse_correct(level: Level, hier: Hierarchy, idx: int,
                     r: jnp.ndarray) -> jnp.ndarray:
     rc = restrict(level.labels, r, level.nc_pad)
-    if hier.cycle == "kcycle" and idx + 1 < len(hier.levels):
+    if (hier.cycle == "kcycle" and idx + 1 < len(hier.levels)
+            and idx + 1 <= hier.kcycle_depth):
         xc = _kcycle_accel(hier, idx + 1, rc)
     else:
         xc = _cycle(hier, idx + 1, rc)
@@ -164,7 +170,7 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
                     coarse_ops: list[ELL], smoother_kind: str = "chebyshev",
                     cycle: str = "vcycle", pre_smooth: int = 0,
                     post_smooth: int = 1, use_hybrid: bool = True,
-                    **smoother_kw) -> Hierarchy:
+                    kcycle_depth: int = 3, **smoother_kw) -> Hierarchy:
     """Assemble a Hierarchy from setup outputs.
 
     ``level_labels[l]``: labels taking level-l row space → level-(l+1)
@@ -192,4 +198,4 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
     return Hierarchy(levels=tuple(levels),
                      coarse=make_coarse_solve(mats[-1]),
                      cycle=cycle, pre_smooth=pre_smooth,
-                     post_smooth=post_smooth)
+                     post_smooth=post_smooth, kcycle_depth=kcycle_depth)
