@@ -68,9 +68,12 @@ def main():
     jax.block_until_ready(ell.vals)
     log(f"[bench] H2D + pack ELL: {time.perf_counter()-t0:.2f}s")
 
+    # npass=3 halves the level count vs the reference's npass=2 at nearly
+    # unchanged K-cycle iteration counts — fewer, smaller coarse levels
+    # are the right trade on TPU where coarse-level work is latency-bound
     cfg = HierarchyConfig(
         max_coarse_size=512,
-        aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0))
+        aggregation=AggregationConfig(ktg=10.0, npass=3, tou=12.0))
 
     # --- setup phase (aggregation) ---
     t0 = time.perf_counter()

@@ -56,7 +56,7 @@ class HYB:
         return self.dvals.dtype
 
 
-def hybrid_from_csr(a: CSR, max_diags: int = 12, min_fill: float = 0.4,
+def hybrid_from_csr(a: CSR, max_diags: int = 48, min_fill: float = 0.02,
                     row_pad: int = 8, dtype=jnp.float32,
                     npad: int | None = None) -> HYB:
     """Split into diagonal + remainder parts.
@@ -162,7 +162,7 @@ def _candidate_offsets_from_sample(a: ELL, max_diags: int,
                                    min_fill: float) -> list[int]:
     """Host-side offset detection from a small row sample (tiny D2H)."""
     n = a.nrows
-    stride = max(1, a.npad // 1024)
+    stride = max(1, a.npad // 4096)
     sample_cols = np.asarray(a.cols[:, ::stride])
     sample_nnz = np.asarray(a.rownnz[::stride])
     rows = np.arange(a.npad, dtype=np.int64)[::stride]
@@ -181,8 +181,8 @@ def _candidate_offsets_from_sample(a: ELL, max_diags: int,
     return sorted(keep)
 
 
-def hybrid_from_ell_device(a: ELL, max_diags: int = 12,
-                           min_fill: float = 0.4) -> HYB:
+def hybrid_from_ell_device(a: ELL, max_diags: int = 48,
+                           min_fill: float = 0.02) -> HYB:
     """Device-side DIA/ELL split: offsets detected from a sampled sliver of
     the column array (one tiny transfer), the split itself built with
     masked reductions and one small-extent per-row sort — no nnz-sized
