@@ -1,2 +1,3 @@
-from .sharded import (make_row_mesh, shard_ell, shard_hierarchy,
-                      shard_vector, replicate, repad_ell)
+from .sharded import (make_row_mesh, shard_ell, shard_operator,
+                      shard_hierarchy, shard_vector, replicate, repad_ell)
+from .halo import make_halo_spmv, halo_width

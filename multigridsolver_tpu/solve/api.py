@@ -76,3 +76,38 @@ def solve_hierarchy(hier: Hierarchy, b: np.ndarray | jnp.ndarray,
     res = _solve_jit(hier, bp, method, float(tol), int(maxiter))
     return krylov.SolveResult(x=res.x[:n], iterations=res.iterations,
                               relres=res.relres, status=res.status)
+
+
+def solve_refined(hier: Hierarchy, a_host: CSR, b: np.ndarray,
+                  tol: float = 1e-8, inner_tol: float = 1e-5,
+                  method: str = "bicgstab", max_outer: int = 8,
+                  maxiter: int = 500):
+    """Mixed-precision iterative refinement to tolerances beyond a single
+    f32 device solve (the 1e-8 north-star target).
+
+    Classic scheme: residuals are computed on the host in float64 against
+    the exact CSR operator; each correction equation A·dx = r is solved on
+    device (f32 hierarchy) to ``inner_tol``.  Converges to ``tol`` in a
+    handful of outer sweeps as long as the inner solver achieves a modest
+    residual reduction.
+
+    Returns (x, relres, total_inner_iterations, outer_sweeps).
+    """
+    import scipy.sparse as sp
+
+    a_sp = a_host.to_scipy()
+    b = np.asarray(b, dtype=np.float64)
+    normb = np.linalg.norm(b)
+    x = np.zeros_like(b)
+    total_inner = 0
+    for outer in range(1, max_outer + 1):
+        r = b - a_sp @ x
+        relres = np.linalg.norm(r) / normb
+        if relres < tol:
+            return x, relres, total_inner, outer - 1
+        res = solve_hierarchy(hier, r, method=method, tol=inner_tol,
+                              maxiter=maxiter)
+        total_inner += int(res.iterations)
+        x = x + np.asarray(res.x, dtype=np.float64)
+    r = b - a_sp @ x
+    return x, np.linalg.norm(r) / normb, total_inner, max_outer

@@ -1,0 +1,103 @@
+"""Hierarchy checkpoint / resume.
+
+The reference's only persistence is writing P to
+``matrices/<name>promatrix_*.mtx`` (``main.cu:291``, ``main.cpp:224``),
+which acts as its setup/solve checkpoint boundary (``bicg.cpp:151`` reads
+it back).  The TPU framework formalises this (SURVEY §5): the *entire*
+hierarchy — per-level operators, labels, smoother state, coarse LU — is
+one pytree, serialised to a single ``.npz`` with a JSON manifest of the
+static metadata.  A solve can resume from a saved hierarchy without
+redoing setup, and the promatrix interchange files remain available via
+``setup.prolongation.p_csr_from_labels`` for cross-checking with the
+reference binaries.
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..solve.hierarchy import Hierarchy
+
+_FORMAT_VERSION = 1
+
+
+def save_hierarchy(path: str, hier: Hierarchy) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(hier)
+    meta = {
+        "version": _FORMAT_VERSION,
+        "nlevels": hier.nlevels,
+        "cycle": hier.cycle,
+        "pre_smooth": hier.pre_smooth,
+        "post_smooth": hier.post_smooth,
+        "kcycle_steps": hier.kcycle_steps,
+        "kcycle_depth": hier.kcycle_depth,
+        "levels": [
+            {"nrows": lvl.a.nrows, "ncols": lvl.a.ncols,
+             "nc_pad": lvl.nc_pad,
+             "is_hybrid": hasattr(lvl.a, "offsets"),
+             "offsets": list(getattr(lvl.a, "offsets", ())),
+             "has_rest": getattr(lvl.a, "ell", None) is not None,
+             "smoother": {
+                 "kind": lvl.smoother.kind, "sweeps": lvl.smoother.sweeps,
+                 "omega": lvl.smoother.omega, "degree": lvl.smoother.degree,
+                 "lmin_frac": lvl.smoother.lmin_frac,
+                 "inner_sweeps": lvl.smoother.inner_sweeps}}
+            for lvl in hier.levels],
+        "coarse": {"nrows": hier.coarse.a.nrows,
+                   "ncols": hier.coarse.a.ncols},
+    }
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    np.savez_compressed(path, manifest=json.dumps(meta), **arrays)
+
+
+def load_hierarchy(path: str, dtype=None) -> Hierarchy:
+    from ..sparse.formats import ELL
+    from ..sparse.hybrid import HYB
+    from ..solve.hierarchy import Level, CoarseSolve
+    from ..solve.smoothers import Smoother
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["manifest"]))
+    if meta["version"] != _FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {meta['version']}")
+    leaves = [jnp.asarray(data[f"leaf_{i}"])
+              for i in range(len(data.files) - 1)]
+    it = iter(leaves)
+
+    def next_n(k):
+        return [next(it) for _ in range(k)]
+
+    levels = []
+    for lm in meta["levels"]:
+        if lm["is_hybrid"]:
+            dvals = next(it)
+            ell = None
+            if lm["has_rest"]:
+                cols, vals, rownnz = next_n(3)
+                ell = ELL(cols=cols, vals=vals, rownnz=rownnz,
+                          nrows=lm["nrows"], ncols=lm["ncols"])
+            a = HYB(dvals=dvals, ell=ell,
+                    offsets=tuple(lm["offsets"]),
+                    nrows=lm["nrows"], ncols=lm["ncols"])
+        else:
+            cols, vals, rownnz = next_n(3)
+            a = ELL(cols=cols, vals=vals, rownnz=rownnz,
+                    nrows=lm["nrows"], ncols=lm["ncols"])
+        labels = next(it)
+        d, lmax = next_n(2)
+        sm = Smoother(d=d, lmax=lmax, **lm["smoother"])
+        levels.append(Level(a=a, labels=labels, smoother=sm,
+                            nc_pad=lm["nc_pad"]))
+    ca_cols, ca_vals, ca_rownnz, lu, piv = next_n(5)
+    coarse = CoarseSolve(
+        a=ELL(cols=ca_cols, vals=ca_vals, rownnz=ca_rownnz,
+              nrows=meta["coarse"]["nrows"], ncols=meta["coarse"]["ncols"]),
+        lu=lu, piv=piv)
+    return Hierarchy(levels=tuple(levels), coarse=coarse,
+                     cycle=meta["cycle"], pre_smooth=meta["pre_smooth"],
+                     post_smooth=meta["post_smooth"],
+                     kcycle_steps=meta["kcycle_steps"],
+                     kcycle_depth=meta["kcycle_depth"])

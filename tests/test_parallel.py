@@ -77,3 +77,50 @@ class TestShardedSolve:
         out_sh = np.asarray(jax.jit(hier_sh.precondition)(v_sh))
         np.testing.assert_allclose(out_sh[:n], out_ref[:n], rtol=1e-11,
                                    atol=1e-13)
+
+
+class TestHaloSpMV:
+    def test_matches_reference(self, mesh):
+        import jax
+        from multigridsolver_tpu.sparse import hybrid as hyb
+        from multigridsolver_tpu.parallel import shard_operator
+        from multigridsolver_tpu.parallel.halo import make_halo_spmv
+
+        a = conftest.poisson2d_csr(40)       # banded: pure DIA
+        ell = a.to_ell(dtype=jnp.float64)
+        h = hyb.hybrid_from_ell_device(ell)
+        h_sh = shard_operator(h, mesh)
+        spmv = jax.jit(make_halo_spmv(h_sh, mesh))
+        rs = np.random.RandomState(0)
+        x = np.zeros(h_sh.npad)
+        x[: a.shape[1]] = rs.randn(a.shape[1])
+        xs = shard_vector(jnp.asarray(x), mesh)
+        y = np.asarray(spmv(xs))
+        ref = a.to_scipy() @ x[: a.shape[1]]
+        np.testing.assert_allclose(y[: a.shape[0]], ref, rtol=1e-12,
+                                   atol=1e-12)
+
+    def test_with_ell_remainder(self, mesh):
+        import jax
+        import scipy.sparse as sp
+        from multigridsolver_tpu.sparse.formats import CSR
+        from multigridsolver_tpu.sparse import hybrid as hyb
+        from multigridsolver_tpu.parallel import shard_operator
+        from multigridsolver_tpu.parallel.halo import make_halo_spmv
+
+        rs = np.random.RandomState(5)
+        base = conftest.poisson2d_csr(30).to_scipy()
+        noise = sp.random(900, 900, density=0.002,
+                          random_state=rs, format="csr")
+        a = CSR.from_scipy((base + noise).tocsr())
+        h = hyb.hybrid_from_ell_device(a.to_ell(dtype=jnp.float64))
+        assert h.ell is not None
+        h_sh = shard_operator(h, mesh)
+        spmv = jax.jit(make_halo_spmv(h_sh, mesh))
+        x = np.zeros(h_sh.npad)
+        x[: a.shape[1]] = rs.randn(a.shape[1])
+        xs = shard_vector(jnp.asarray(x), mesh)
+        y = np.asarray(spmv(xs))
+        ref = a.to_scipy() @ x[: a.shape[1]]
+        np.testing.assert_allclose(y[: a.shape[0]], ref, rtol=1e-11,
+                                   atol=1e-11)
