@@ -68,12 +68,13 @@ def main():
     jax.block_until_ready(ell.vals)
     log(f"[bench] H2D + pack ELL: {time.perf_counter()-t0:.2f}s")
 
-    # npass=3 halves the level count vs the reference's npass=2 at nearly
-    # unchanged K-cycle iteration counts — fewer, smaller coarse levels
-    # are the right trade on TPU where coarse-level work is latency-bound
+    # npass=4 halves the level count twice vs the reference's npass=2 at
+    # modestly higher K-cycle iteration counts — fewer, smaller coarse
+    # levels are the right trade on TPU where coarse-level work is
+    # gather-bound (empirical sweep: npass=4/deg=2/depth=2 is fastest)
     cfg = HierarchyConfig(
         max_coarse_size=512,
-        aggregation=AggregationConfig(ktg=10.0, npass=3, tou=12.0))
+        aggregation=AggregationConfig(ktg=10.0, npass=4, tou=16.0))
 
     # --- setup phase (aggregation) ---
     t0 = time.perf_counter()
@@ -92,7 +93,8 @@ def main():
     t0 = time.perf_counter()
     hier = build_hierarchy(setup.matrices[0], setup.level_labels,
                            setup.matrices[1:], smoother_kind="chebyshev",
-                           cycle="kcycle", pre_smooth=1, post_smooth=1)
+                           cycle="kcycle", pre_smooth=1, post_smooth=1,
+                           degree=2, kcycle_depth=2)
     jax.block_until_ready(hier.coarse.lu)
     hier_s = time.perf_counter() - t0
     log(f"[bench] hierarchy build: {hier_s:.3f}s")
