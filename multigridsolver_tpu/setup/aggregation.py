@@ -54,11 +54,13 @@ class AggregationResult:
 
 
 @partial(jax.jit, static_argnames=("first_pass", "ktg", "checkdd", "trspos",
-                                   "fracnegrcsum", "max_rounds"))
+                                   "fracnegrcsum", "max_rounds", "symmetric"))
 def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
-                trspos: float, fracnegrcsum: float, max_rounds: int):
+                trspos: float, fracnegrcsum: float, max_rounds: int,
+                symmetric: bool = False):
     st = compute_strength(a, ktg, first_pass, checkdd=checkdd,
-                          trspos=trspos, fracnegrcsum=fracnegrcsum)
+                          trspos=trspos, fracnegrcsum=fracnegrcsum,
+                          symmetric=symmetric)
     paired = mutual_match(a, st, max_rounds=max_rounds)
     labels, nc = labels_from_pairs(paired, st.excluded)
     return paired, labels, nc
@@ -107,10 +109,15 @@ def _greedy_pass(a: ELL, first_pass: bool, cfg: AggregationConfig):
 
 
 def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
-                       timer: PhaseTimer | None = None) -> AggregationResult:
-    """One AGMG setup round: npass pairwise passes over ``a``."""
+                       timer: PhaseTimer | None = None,
+                       nnz0: int | None = None) -> AggregationResult:
+    """One AGMG setup round: npass pairwise passes over ``a``.
+
+    ``nnz0`` lets the caller pass a host-known nnz to avoid a device
+    readback (ELL.nnz costs a tunnel round-trip)."""
     timer = timer or PhaseTimer(enabled=False)
-    nnz0 = a.nnz
+    if nnz0 is None:
+        nnz0 = a.nnz
     passes: list[PassInfo] = []
 
     def run_pass(mat: ELL, first: bool):
@@ -123,18 +130,19 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                                          float(cfg.checkdd),
                                          float(cfg.trspos),
                                          float(cfg.fracnegrcsum),
-                                         int(cfg.max_matching_rounds))
+                                         int(cfg.max_matching_rounds),
+                                         bool(cfg.symmetric))
         return paired, labels, int(nc)
 
     with timer.phase("aggregation.pass1"):
         paired, labels, nc = run_pass(a, True)
     cum_labels = labels
     with timer.phase("aggregation.galerkin1"):
-        ac = galerkin_pair_ell(a, paired, labels, nc)
-    passes.append(PassInfo(nc=nc, nnz=ac.nnz))
+        ac, nnz_c = galerkin_pair_ell(a, paired, labels, nc)
+    passes.append(PassInfo(nc=nc, nnz=nnz_c))
 
     for s in range(2, cfg.npass + 1):
-        if ac.nnz <= nnz0 / cfg.tou:
+        if nnz_c <= nnz0 / cfg.tou:
             break
         if cfg.max_restriction and ac.nrows < cfg.max_restriction:
             break
@@ -142,8 +150,8 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
             paired, pass_labels, nc = run_pass(ac, False)
         cum_labels = compose_labels(cum_labels, pass_labels)
         with timer.phase(f"aggregation.galerkin{s}"):
-            ac = galerkin_pair_ell(ac, paired, pass_labels, nc)
-        passes.append(PassInfo(nc=nc, nnz=ac.nnz))
+            ac, nnz_c = galerkin_pair_ell(ac, paired, pass_labels, nc)
+        passes.append(PassInfo(nc=nc, nnz=nnz_c))
 
     return AggregationResult(labels=cum_labels, nc=nc, coarse=ac,
                              passes=passes)
@@ -165,14 +173,17 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
     labels: list[jnp.ndarray] = []
     rounds: list[AggregationResult] = []
     cur = a
+    cur_nnz = None
     for _ in range(cfg.max_levels - 1):
         if cur.nrows <= cfg.max_coarse_size:
             break
-        res = pairwise_aggregate(cur, cfg.aggregation, timer=timer)
+        res = pairwise_aggregate(cur, cfg.aggregation, timer=timer,
+                                 nnz0=cur_nnz)
         if res.nc == 0 or res.nc >= cur.nrows:
             break   # no coarsening progress; stop
         labels.append(res.labels)
         mats.append(res.coarse)
         rounds.append(res)
         cur = res.coarse
+        cur_nnz = res.passes[-1].nnz
     return SetupResult(matrices=mats, level_labels=labels, rounds=rounds)

@@ -20,6 +20,7 @@ Two device paths:
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -207,12 +208,19 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
 
 
 def galerkin_pair_ell(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
-                      nc_true: int, row_pad: int = 8) -> ELL:
-    """Host driver for the pairwise-merge Galerkin path."""
+                      nc_true: int, row_pad: int = 8) -> tuple[ELL, int]:
+    """Host driver for the pairwise-merge Galerkin path.
+
+    Returns (coarse ELL, nnz_c).  One scalar readback total (nnz and max
+    degree fetched together — host↔device round-trips through the TPU
+    tunnel cost ~30 ms each and dominate naive setup loops)."""
     nc_pad = max(((nc_true + row_pad - 1) // row_pad) * row_pad, row_pad)
     cols, vals, rownnz, info = jax.jit(
         galerkin_pair_arrays, static_argnums=(3,))(a, paired, labels, nc_pad)
-    kc_eff = max(int(info[1]), 1)
-    return ELL(cols=cols[:kc_eff], vals=vals[:kc_eff],
-               rownnz=jnp.minimum(rownnz, kc_eff).astype(jnp.int32),
-               nrows=nc_true, ncols=nc_true)
+    info_np = np.asarray(info)
+    nnz_c = int(info_np[0])
+    kc_eff = max(int(info_np[1]), 1)
+    ell = ELL(cols=cols[:kc_eff], vals=vals[:kc_eff],
+              rownnz=jnp.minimum(rownnz, kc_eff).astype(jnp.int32),
+              nrows=nc_true, ncols=nc_true)
+    return ell, nnz_c

@@ -92,18 +92,32 @@ def feasible_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray) -> jnp.ndarray:
 
 def compute_strength(a: ELL, ktg: float, first_pass: bool,
                      checkdd: float = -0.5, trspos: float = 0.0,
-                     fracnegrcsum: float = 0.0) -> StrengthData:
+                     fracnegrcsum: float = 0.0,
+                     symmetric: bool = False) -> StrengthData:
     """All per-pass strength data in one jittable computation.
 
     ``first_pass=False`` disables the G0/trspos exclusions, matching the
     reference (``Aggregation.cu:60-63`` zeroes ising0 on later passes; the
     CPU further pass has no exclusion logic at all, ``AGMG.cpp:196-280``).
+
+    ``symmetric=True`` (the MATLAB API's `sym`, agtwolev.m) skips the
+    transposed-value lookups entirely: aⱼᵢ = aᵢⱼ, column sums = row sums —
+    saving the O(K²·n) transpose-matching gathers, the costliest part of
+    the pass.
     """
     diag = ops.extract_diag(a)
-    si = si_vector(a)
+    if symmetric:
+        si = -ops.row_sum(a, skip_diag=True)
+    else:
+        si = si_vector(a)
     rowmask = a.row_mask()
     if first_pass:
-        excl = g0_mask(a, diag, ktg, checkdd)
+        if symmetric:
+            abs_sum = ops.row_sum(a, absolute=True, skip_diag=True)
+            factor = max(abs(checkdd), ktg / (ktg - 2.0))
+            excl = diag >= factor * abs_sum
+        else:
+            excl = g0_mask(a, diag, ktg, checkdd)
         if fracnegrcsum > 0.0:
             # zerors rule (dagtwolev_mex.f90:763-770): if more than
             # fracnegrcsum·n nodes have negative mean row+col sum
@@ -118,7 +132,7 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
     else:
         excl = jnp.zeros((a.npad,), dtype=bool)
     excl = excl | ~rowmask
-    vals_t = ops.transposed_slot_values(a)
+    vals_t = a.vals if symmetric else ops.transposed_slot_values(a)
     mu = mu_slots(a, diag, si, vals_t)
     nondiag = a.slot_mask() & (a.cols != a.row_iota())
     # stored-but-zero entries are not graph edges when the symmetrised
