@@ -74,7 +74,8 @@ def main():
     # gather-bound (empirical sweep: npass=4/deg=2/depth=2 is fastest)
     cfg = HierarchyConfig(
         max_coarse_size=512,
-        aggregation=AggregationConfig(ktg=10.0, npass=4, tou=16.0))
+        aggregation=AggregationConfig(ktg=10.0, npass=4, tou=16.0,
+                                      symmetric=True))
 
     # --- setup phase (aggregation) ---
     t0 = time.perf_counter()

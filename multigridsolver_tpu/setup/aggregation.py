@@ -54,13 +54,14 @@ class AggregationResult:
 
 
 @partial(jax.jit, static_argnames=("first_pass", "ktg", "checkdd", "trspos",
-                                   "fracnegrcsum", "max_rounds", "symmetric"))
+                                   "fracnegrcsum", "max_rounds", "symmetric",
+                                   "mu_mode"))
 def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
                 trspos: float, fracnegrcsum: float, max_rounds: int,
-                symmetric: bool = False):
+                symmetric: bool = False, mu_mode: str = "simple"):
     st = compute_strength(a, ktg, first_pass, checkdd=checkdd,
                           trspos=trspos, fracnegrcsum=fracnegrcsum,
-                          symmetric=symmetric)
+                          symmetric=symmetric, mu_mode=mu_mode)
     paired = mutual_match(a, st, max_rounds=max_rounds)
     labels, nc = labels_from_pairs(paired, st.excluded)
     return paired, labels, nc
@@ -131,7 +132,8 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                                          float(cfg.trspos),
                                          float(cfg.fracnegrcsum),
                                          int(cfg.max_matching_rounds),
-                                         bool(cfg.symmetric))
+                                         bool(cfg.symmetric),
+                                         str(cfg.mu_mode))
         return paired, labels, int(nc)
 
     with timer.phase("aggregation.pass1"):

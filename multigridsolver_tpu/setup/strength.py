@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -82,6 +83,57 @@ def mu_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
     return num / den
 
 
+def mu_slots_notay(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
+                   vals_t: jnp.ndarray, zerors) -> tuple[jnp.ndarray,
+                                                         jnp.ndarray]:
+    """The full AGMG 3.0 pair quality with indefinite-case safeguards —
+    the δ/η/σ formulation of ``dag2l_findpairs_GI1``
+    (``dagtwolev_mex.f90:2603-2655``), vectorised over all slots.
+
+    Returns (valp, ok): ``valp`` is the quality value tested against κ,
+    ``ok`` False where the pair is rejected because the local 2x2 block
+    A_G fails nonnegative-definiteness.  ``zerors`` (traced bool) selects
+    the row-sum-zero treatment of the diagonal (f90:2603-2613).
+    """
+    eps_mach = jnp.asarray(np.finfo(np.float32).eps
+                           if a.vals.dtype == jnp.float32
+                           else np.finfo(np.float64).eps, a.vals.dtype)
+    aii = diag[None, :]
+    ajj = jnp.take(diag, a.cols, axis=0)
+    s_i = si[None, :]
+    s_j = jnp.take(si, a.cols, axis=0)
+    vals = -(a.vals + vals_t) / 2.0
+    rsi = jnp.where(zerors, 0.0, -s_i + aii)
+    rsj = jnp.where(zerors, 0.0, -s_j + ajj)
+    eta1 = jnp.where(zerors, 2.0 * s_i, 2.0 * aii)
+    eta2 = jnp.where(zerors, 2.0 * s_j, 2.0 * ajj)
+    sig1 = s_i - vals
+    sig2 = s_j - vals
+    del1 = jnp.where(sig1 > 0.0, rsi, rsi + 2.0 * sig1)
+    del2 = jnp.where(sig2 > 0.0, rsj, rsj + 2.0 * sig2)
+    eta_h = (eta1 * eta2) / (eta1 + eta2)      # harmonic η/2 term
+    epsr = eps_mach * vals
+    del12 = del1 + del2
+    small1 = jnp.abs(del1) < epsr
+    small2 = jnp.abs(del2) < epsr
+    # vals > 0 branch
+    valp_small = (eta1 * eta2) / (vals * (eta1 + eta2))
+    valp_gen = vals + (del1 * del2) / jnp.where(del12 == 0.0, 1.0, del12)
+    pos_ok = jnp.where(
+        small1 & small2, True,
+        jnp.where(small1, del2 >= -epsr,
+                  jnp.where(small2, del1 >= -epsr,
+                            (del12 >= -epsr) & (valp_gen >= 0.0))))
+    valp_pos = jnp.where(small1 | small2, valp_small,
+                         eta_h / jnp.where(valp_gen == 0.0, 1.0, valp_gen))
+    # vals <= 0 branch
+    neg_ok = (del1 > 0.0) & (del2 > 0.0) & (valp_gen >= 0.0)
+    valp_neg = eta_h / jnp.where(valp_gen == 0.0, 1.0, valp_gen)
+    ok = jnp.where(vals > 0.0, pos_ok, neg_ok)
+    valp = jnp.where(vals > 0.0, valp_pos, valp_neg)
+    return valp, ok
+
+
 def feasible_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray) -> jnp.ndarray:
     """aᵢᵢ − sᵢ + aⱼⱼ − sⱼ ≥ 0 per slot (``AGMG.cpp:159``,
     ``Aggregation.cu:157-159``)."""
@@ -93,7 +145,8 @@ def feasible_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray) -> jnp.ndarray:
 def compute_strength(a: ELL, ktg: float, first_pass: bool,
                      checkdd: float = -0.5, trspos: float = 0.0,
                      fracnegrcsum: float = 0.0,
-                     symmetric: bool = False) -> StrengthData:
+                     symmetric: bool = False,
+                     mu_mode: str = "simple") -> StrengthData:
     """All per-pass strength data in one jittable computation.
 
     ``first_pass=False`` disables the G0/trspos exclusions, matching the
@@ -111,6 +164,7 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
     else:
         si = si_vector(a)
     rowmask = a.row_mask()
+    zerors = jnp.asarray(False)
     if first_pass:
         if symmetric:
             abs_sum = ops.row_sum(a, absolute=True, skip_diag=True)
@@ -131,17 +185,21 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
             excl = excl | trspos_mask(a, diag, trspos)
     else:
         excl = jnp.zeros((a.npad,), dtype=bool)
-    excl = excl | ~rowmask
+    excl = excl | ~rowmask | (a.rownnz == 0)
     vals_t = a.vals if symmetric else ops.transposed_slot_values(a)
-    mu = mu_slots(a, diag, si, vals_t)
     nondiag = a.slot_mask() & (a.cols != a.row_iota())
     # stored-but-zero entries are not graph edges when the symmetrised
     # coupling vanishes; the reference checks A(i,j) != 0 (AGMG.cpp:155)
     edge = nondiag & ((a.vals != 0.0) | (vals_t != 0.0))
-    allowed = (edge
-               & (mu > 0.0) & (mu <= ktg)
-               & ~excl[None, :]
-               & ~jnp.take(excl, a.cols, axis=0)
-               & feasible_slots(a, diag, si))
+    not_excl = ~excl[None, :] & ~jnp.take(excl, a.cols, axis=0)
+    if mu_mode == "notay":
+        mu, ok = mu_slots_notay(a, diag, si, vals_t, zerors)
+        allowed = edge & ok & (mu >= 0.0) & (mu <= ktg) & not_excl
+    else:
+        mu = mu_slots(a, diag, si, vals_t)
+        allowed = (edge
+                   & (mu > 0.0) & (mu <= ktg)
+                   & not_excl
+                   & feasible_slots(a, diag, si))
     return StrengthData(diag=diag, si=si, excluded=excl, mu=mu,
                         allowed=allowed, vals_t=vals_t)

@@ -57,6 +57,10 @@ class AggregationConfig:
     # Optional tentative-aggregate PSD quality re-check in the original fine
     # matrix, as in dag2l_checktentagg (f90:1052-1401).
     check_tentagg: bool = False
+    # Pair-quality formulation: "simple" = the C++/CUDA ports' μ
+    # (AGMG.cpp:92-99); "notay" = the full AGMG 3.0 δ/η/σ formulation with
+    # indefinite-case safeguards (dagtwolev_mex.f90:2603-2655).
+    mu_mode: str = "simple"
 
 
 @dataclass(frozen=True)

@@ -212,3 +212,59 @@ class TestCMKOrder:
         assert sorted(order.tolist()) == list(range(16))
         # BFS from corner of a grid: second/third visited are its neighbours
         assert set(order[1:3].tolist()) == {1, 4}
+
+
+class TestNotayMu:
+    def test_notay_mode_on_csky(self):
+        """The full δ/η/σ formulation on the nonsymmetric skyscraper suite:
+        pairs well and solves within reference iteration range."""
+        from multigridsolver_tpu.io import read_mtx
+        from conftest import reference_matrix_path
+        from multigridsolver_tpu.setup.prolongation import p_csr_from_labels
+        from multigridsolver_tpu.solve import (two_level_from_p,
+                                               solve_hierarchy)
+        a = read_mtx(reference_matrix_path("CSky2d20.mtx"))
+        ell = a.to_ell(dtype=jnp.float64)
+        cfg = AggregationConfig(npass=2, mu_mode="notay", trspos=0.45,
+                                fracnegrcsum=0.25)
+        res = pairwise_aggregate(ell, cfg)
+        assert 0 < res.nc < a.nrows
+        p = p_csr_from_labels(np.asarray(res.labels)[: a.nrows], res.nc)
+        hier = two_level_from_p(a, p, smoother_kind="gs2",
+                                dtype=jnp.float64)
+        b = np.random.RandomState(0).rand(a.nrows)
+        r = solve_hierarchy(hier, b, method="bicgstab", tol=1e-6)
+        assert int(r.status) == 0
+        assert int(r.iterations) <= 12
+
+    def test_notay_matches_simple_on_mmatrix(self):
+        """For a symmetric M-matrix with zero row sums both formulations
+        accept the same strong pairs; coarsening grades should agree."""
+        import conftest
+        a = conftest.poisson2d_csr(20)
+        ell = a.to_ell(dtype=jnp.float64)
+        r1 = pairwise_aggregate(ell, AggregationConfig(npass=1))
+        r2 = pairwise_aggregate(ell, AggregationConfig(npass=1,
+                                                       mu_mode="notay"))
+        assert abs(r1.nc - r2.nc) <= 0.1 * r1.nc
+
+
+class TestQualityHistogram:
+    def test_histogram_counts(self):
+        import conftest
+        from multigridsolver_tpu.utils.stats import (
+            aggregate_quality_histogram, setup_report)
+        a = conftest.poisson2d_csr(16)
+        ell = a.to_ell(dtype=jnp.float64)
+        res = pairwise_aggregate(ell, AggregationConfig(npass=1))
+        hist, pairs, singles, excl = aggregate_quality_histogram(
+            ell, res.labels)
+        n = a.shape[0]
+        assert pairs * 2 + singles + excl == n
+        assert hist.sum() == pairs
+        # setup report renders
+        from multigridsolver_tpu.setup.aggregation import build_amg_setup
+        setup = build_amg_setup(ell, HierarchyConfig(
+            max_coarse_size=30, aggregation=AggregationConfig(npass=2)))
+        rep = setup_report(setup)
+        assert "operator complexity" in rep
