@@ -95,7 +95,7 @@ def main():
     hier = build_hierarchy(setup.matrices[0], setup.level_labels,
                            setup.matrices[1:], smoother_kind="chebyshev",
                            cycle="kcycle", pre_smooth=1, post_smooth=1,
-                           degree=2, kcycle_depth=2)
+                           degree=3, kcycle_depth=2)
     jax.block_until_ready(hier.coarse.lu)
     hier_s = time.perf_counter() - t0
     log(f"[bench] hierarchy build: {hier_s:.3f}s")
