@@ -80,15 +80,30 @@ def _best_neighbor(a: ELL, mu: jnp.ndarray, allowed: jnp.ndarray,
 
 
 def mutual_match(a: ELL, strength: StrengthData,
-                 max_rounds: int = 64) -> jnp.ndarray:
+                 max_rounds: int = 64,
+                 skipass_frac: float = 0.0) -> jnp.ndarray:
     """Run the handshake matching.
 
     Returns ``paired`` (npad,) int32: partner index for matched nodes,
     own index for singletons, -1 for excluded nodes (G0 etc.).
+
+    ``skipass_frac`` > 0 enables the Fortran's skipass heuristic
+    (``dagtwolev_mex.f90:314-323``, simplified): when the DD-excluded
+    nodes alone already provide the target coarsening fraction, pairwise
+    matching is skipped and every remaining node becomes a singleton.
     """
     npad = a.npad
     nodes = jax.lax.broadcasted_iota(jnp.int32, (npad, 1), 0)[:, 0]
     undecided = ~strength.excluded            # still seeking a partner
+    if skipass_frac > 0.0:
+        n_rows = jnp.sum(a.row_mask())
+        n_excl = jnp.sum(strength.excluded & a.row_mask())
+        skip = n_excl >= skipass_frac * jnp.maximum(n_rows, 1)
+        # singleton-ise everyone by claiming no proposals can form
+        undecided = undecided & ~skip
+        post_skip = skip
+    else:
+        post_skip = None
 
     def cond(st):
         return st["again"] & (st["round"] < max_rounds)
@@ -116,6 +131,8 @@ def mutual_match(a: ELL, strength: StrengthData,
     paired = st["paired"]
     # leftovers (still available, not excluded) become singletons
     paired = jnp.where(st["avail"] & undecided, nodes, paired)
+    if post_skip is not None:
+        paired = jnp.where(post_skip & ~strength.excluded, nodes, paired)
     return jnp.where(strength.excluded, -1, paired)
 
 
