@@ -128,8 +128,46 @@ def main():
     nnz_per_s = a.nnz / spmv_s
     log(f"[bench] SpMV: {spmv_s*1e3:.3f} ms → {nnz_per_s/1e9:.2f} Gnnz/s")
 
+    # --- optional north-star: csky3d(80) (matvf3dSky80 stand-in, n=512k)
+    # solved to 1e-8 via mixed-precision refinement (BENCH_FULL=1) ---
+    sky = {}
+    if os.environ.get("BENCH_FULL") == "1":
+        from multigridsolver_tpu.cli.generators import csky3d
+        from multigridsolver_tpu.solve.api import solve_refined
+        t0 = time.perf_counter()
+        a80 = csky3d(80)
+        log(f"[bench] csky3d(80): n={a80.nrows} nnz={a80.nnz} "
+            f"({time.perf_counter()-t0:.1f}s to generate)")
+        ell80 = a80.to_ell(dtype=jnp.float32)
+        t0 = time.perf_counter()
+        setup80 = build_amg_setup(ell80, HierarchyConfig(
+            max_coarse_size=512,
+            aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0)))
+        hier80 = build_hierarchy(setup80.matrices[0], setup80.level_labels,
+                                 setup80.matrices[1:],
+                                 smoother_kind="chebyshev", cycle="kcycle",
+                                 pre_smooth=1, post_smooth=1, degree=3,
+                                 kcycle_depth=2)
+        jax.block_until_ready(hier80.coarse.lu)
+        sky_setup = time.perf_counter() - t0
+        b80 = rs.rand(a80.nrows)
+        x80, relres80, inner80, outer80 = solve_refined(
+            hier80, a80, b80, tol=1e-8, inner_tol=1e-5)
+        t0 = time.perf_counter()
+        x80, relres80, inner80, outer80 = solve_refined(
+            hier80, a80, b80, tol=1e-8, inner_tol=1e-5)
+        sky_solve = time.perf_counter() - t0
+        log(f"[bench] csky3d80 1e-8: setup+build={sky_setup:.2f}s "
+            f"solve={sky_solve:.2f}s relres={relres80:.2e} "
+            f"inner={inner80} outer={outer80}")
+        sky = {"sky80_setup_s": sky_setup, "sky80_solve_1e8_s": sky_solve,
+               "sky80_relres": float(relres80),
+               "sky80_inner_iters": inner80, "sky80_outer": outer80,
+               "sky80_levels": [m.nrows for m in setup80.matrices]}
+
     details = {
         "matrix": f"poisson{n_grid}", "n": a.nrows, "nnz": a.nnz,
+        **sky,
         "setup_cold_s": setup_cold, "setup_warm_s": setup_warm,
         "setup_vs_gpu_baseline": baseline_setup_gpu_s / setup_warm,
         "hierarchy_s": hier_s,

@@ -57,6 +57,8 @@ def _solve_jit(hier: Hierarchy, b: jnp.ndarray, method: str, tol: float,
         return krylov.cg(matvec, b, precond, tol=tol, maxiter=maxiter)
     if method == "fcg":
         return krylov.fcg(matvec, b, precond, tol=tol, maxiter=maxiter)
+    if method == "gmres":
+        return krylov.gmres(matvec, b, precond, tol=tol, maxiter=maxiter)
     if method == "none":   # unpreconditioned
         return krylov.bicgstab(matvec, b, None, tol=tol, maxiter=maxiter)
     raise ValueError(f"unknown method {method!r}")
@@ -111,3 +113,46 @@ def solve_refined(hier: Hierarchy, a_host: CSR, b: np.ndarray,
         x = x + np.asarray(res.x, dtype=np.float64)
     r = b - a_sp @ x
     return x, np.linalg.norm(r) / normb, total_inner, max_outer
+
+
+def solve(a: CSR, b: np.ndarray, config=None, timer=None):
+    """One-call solve driven by the typed config surface.
+
+    Builds the multilevel hierarchy from ``HierarchyConfig`` settings and
+    runs the configured Krylov method; with ``config.refine_outer > 0``
+    the f32 device solve is wrapped in f64 iterative refinement.
+    Returns (x, SolveResult-like info dict).
+    """
+    import jax.numpy as jnp
+    from ..utils.config import SolveConfig, HierarchyConfig
+    from ..setup.aggregation import build_amg_setup
+    from .hierarchy import build_hierarchy
+
+    cfg = config or SolveConfig()
+    hcfg = getattr(cfg, "hierarchy", None) or HierarchyConfig()
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    ell = a.to_ell(dtype=dtype)
+    setup = build_amg_setup(ell, hcfg, timer=timer)
+    cyc = "kcycle" if cfg.cycle == "kcycle" else "vcycle"
+    pre = 0 if cfg.cycle == "twolevel" else 1
+    hier = build_hierarchy(
+        setup.matrices[0], setup.level_labels, setup.matrices[1:],
+        smoother_kind=cfg.smoother.kind, cycle=cyc, pre_smooth=pre,
+        post_smooth=1, degree=cfg.smoother.degree,
+        omega=cfg.smoother.omega, sweeps=cfg.smoother.sweeps,
+        lmin_frac=cfg.smoother.lmin_frac,
+        inner_sweeps=cfg.smoother.inner_sweeps,
+        lmax_safety=cfg.smoother.lmax_safety)
+    if cfg.refine_outer > 0:
+        x, relres, inner, outer = solve_refined(
+            hier, a, b, tol=cfg.refine_tol, inner_tol=cfg.tol,
+            method=cfg.method, max_outer=cfg.refine_outer,
+            maxiter=cfg.max_iter)
+        return x, {"relres": relres, "inner_iterations": inner,
+                   "outer_sweeps": outer, "hierarchy": hier}
+    res = solve_hierarchy(hier, b, method=cfg.method, tol=cfg.tol,
+                          maxiter=cfg.max_iter)
+    return np.asarray(res.x), {"relres": float(res.relres),
+                               "iterations": int(res.iterations),
+                               "status": int(res.status),
+                               "hierarchy": hier}

@@ -218,3 +218,71 @@ def fcg(matvec, b, precond=None, x0=None, tol: float = 1e-6,
     st = jax.lax.while_loop(cond, body, init)
     return SolveResult(x=st["x"], iterations=st["i"], relres=st["resid"],
                        status=jnp.where(st["resid"] < tol, 0, 1).astype(jnp.int32))
+
+
+def gmres(matvec, b, precond=None, x0=None, tol: float = 1e-6,
+          maxiter: int = 1000, restart: int = 30) -> SolveResult:
+    """Right-preconditioned restarted GMRES(m).
+
+    Arnoldi with modified Gram-Schmidt in a fixed-size Krylov basis
+    (static shapes for jit); the least-squares problem is solved by
+    Givens-free normal equations on the small Hessenberg (m ≤ ~50, done
+    densely on the MXU).  Iteration counting matches matvec applications.
+    """
+    if precond is None:
+        precond = lambda v: v
+    n = b.shape[0]
+    m = restart
+    x = jnp.zeros_like(b) if x0 is None else x0
+    normb = _norm(b)
+    normb = jnp.where(normb == 0.0, 1.0, normb)
+
+    def outer_cond(st):
+        return (st["resid"] >= tol) & (st["iters"] < maxiter)
+
+    def outer_body(st):
+        x = st["x"]
+        r = b - matvec(x)
+        beta = _norm(r)
+        v0 = r / jnp.where(beta == 0.0, 1.0, beta)
+        basis = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
+        hess = jnp.zeros((m + 1, m), b.dtype)
+        zs = jnp.zeros((m, n), b.dtype)     # preconditioned directions
+
+        def arnoldi(j, carry):
+            basis, hess, zs = carry
+            z = precond(basis[j])
+            w = matvec(z)
+            # modified Gram-Schmidt against all basis vectors (masked)
+            def mgs(i, acc):
+                w, hcol = acc
+                hij = jnp.where(i <= j, jnp.vdot(basis[i], w), 0.0)
+                w = w - hij * basis[i]
+                return w, hcol.at[i].set(hij)
+
+            w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
+                                        (w, jnp.zeros(m + 1, b.dtype)))
+            hjj = _norm(w)
+            hcol = hcol.at[j + 1].set(hjj)
+            vnext = w / jnp.where(hjj == 0.0, 1.0, hjj)
+            basis = basis.at[j + 1].set(vnext)
+            return basis, hess.at[:, j].set(hcol), zs.at[j].set(z)
+
+        basis, hess, zs = jax.lax.fori_loop(0, m, arnoldi,
+                                            (basis, hess, zs))
+        # least squares: min ||beta e1 − H y|| via normal equations
+        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        hth = hess.T @ hess + 1e-30 * jnp.eye(m, dtype=b.dtype)
+        y = jnp.linalg.solve(hth, hess.T @ e1)
+        x = x + y @ zs
+        r = b - matvec(x)
+        return dict(x=x, resid=_norm(r) / normb, iters=st["iters"] + m)
+
+    r0 = b - matvec(x)
+    st = jax.lax.while_loop(outer_cond, outer_body,
+                            dict(x=x, resid=_norm(r0) / normb,
+                                 iters=jnp.int32(0)))
+    return SolveResult(x=st["x"], iterations=st["iters"],
+                       relres=st["resid"],
+                       status=jnp.where(st["resid"] < tol, 0, 1
+                                        ).astype(jnp.int32))

@@ -107,3 +107,5 @@ class SolveConfig:
     # a single f32 Krylov solve allows (e.g. the 1e-8 north-star target)
     refine_outer: int = 0
     refine_tol: float = 1e-8
+    # hierarchy construction settings (None = defaults)
+    hierarchy: HierarchyConfig | None = None
