@@ -70,34 +70,48 @@ def col_sum(a: ELL, absolute: bool = False, skip_diag: bool = False
     return out.at[a.cols].add(v)
 
 
+_TRANSPOSE_CHUNK = 8
+
+
+def _transposed_lookup(a: ELL, reduce_vals: bool):
+    """Shared K-way transpose matching, chunked over the slot axis.
+
+    The naive formulation materialises a (K, K, n) intermediate — O(K²·n)
+    memory, which blows past HBM once coarse-level K reaches ~40.
+    Processing the *outer* slot axis in chunks of ``_TRANSPOSE_CHUNK``
+    bounds the live intermediate at (K, chunk, n) with identical results.
+    """
+    ri = a.row_iota()
+    k = a.k
+    outs = []
+    for s0 in range(0, k, _TRANSPOSE_CHUNK):
+        j = a.cols[s0: s0 + _TRANSPOSE_CHUNK]        # (c, n)
+        cols_j = jnp.take(a.cols, j, axis=1)          # (K, c, n)
+        nnz_j = jnp.take(a.rownnz, j, axis=0)         # (c, n)
+        sl2 = jax.lax.broadcasted_iota(jnp.int32, cols_j.shape, 0)
+        hit = (cols_j == ri[None, s0: s0 + _TRANSPOSE_CHUNK, :])             & (sl2 < nnz_j[None, :, :])
+        if reduce_vals:
+            vals_j = jnp.take(a.vals, j, axis=1)
+            outs.append(jnp.sum(jnp.where(hit, vals_j, 0.0), axis=0))
+        else:
+            outs.append(jnp.any(hit, axis=0))
+    return jnp.concatenate(outs, axis=0)
+
+
 def transposed_slot_values(a: ELL) -> jnp.ndarray:
     """(K, n_pad) array t where t[s, i] = A[j, i] for j = cols[s, i] (0 if
     the transposed entry is not stored).
 
     TPU analogue of the reference's per-μ-evaluation binary searches
     (``MatrixAccess.cu:28-47``): a vectorised K-way compare against row j's
-    stored columns (K small), i.e. K² gathers instead of log-degree pointer
-    chases.
+    stored columns (K small), chunked to bound memory at large K.
     """
-    ri = a.row_iota()
-    j = a.cols                                   # (K, n)
-    cols_j = jnp.take(a.cols, j, axis=1)         # (K, K, n): cols[s2, j]
-    vals_j = jnp.take(a.vals, j, axis=1)
-    nnz_j = jnp.take(a.rownnz, j, axis=0)        # (K, n)
-    sl2 = jax.lax.broadcasted_iota(jnp.int32, cols_j.shape, 0)
-    hit = (cols_j == ri[None, :, :]) & (sl2 < nnz_j[None, :, :])
-    return jnp.sum(jnp.where(hit, vals_j, 0.0), axis=0)
+    return _transposed_lookup(a, reduce_vals=True)
 
 
 def pair_exists(a: ELL) -> jnp.ndarray:
     """(K, n_pad) bool: True where the transposed entry (j, i) is stored."""
-    ri = a.row_iota()
-    j = a.cols
-    cols_j = jnp.take(a.cols, j, axis=1)
-    nnz_j = jnp.take(a.rownnz, j, axis=0)
-    sl2 = jax.lax.broadcasted_iota(jnp.int32, cols_j.shape, 0)
-    hit = (cols_j == ri[None, :, :]) & (sl2 < nnz_j[None, :, :])
-    return jnp.any(hit, axis=0) & a.slot_mask()
+    return _transposed_lookup(a, reduce_vals=False) & a.slot_mask()
 
 
 def symmetrized_offdiag_sums(a: ELL) -> tuple[jnp.ndarray, jnp.ndarray]:
