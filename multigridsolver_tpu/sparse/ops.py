@@ -70,32 +70,36 @@ def col_sum(a: ELL, absolute: bool = False, skip_diag: bool = False
     return out.at[a.cols].add(v)
 
 
-_TRANSPOSE_CHUNK = 8
-
-
 def _transposed_lookup(a: ELL, reduce_vals: bool):
-    """Shared K-way transpose matching, chunked over the slot axis.
+    """Shared K-way transpose matching with O(K·n) live memory.
 
-    The naive formulation materialises a (K, K, n) intermediate — O(K²·n)
-    memory, which blows past HBM once coarse-level K reaches ~40.
-    Processing the *outer* slot axis in chunks of ``_TRANSPOSE_CHUNK``
-    bounds the live intermediate at (K, chunk, n) with identical results.
+    For every stored (i → j) slot we need row j's entry for column i.  The
+    naive formulation gathers whole K-wide rows per slot — a (K, K, n)
+    intermediate that blows past HBM once coarse-level K reaches ~40.
+    Instead, loop over the K *source* slots s₂ (a device ``fori_loop``):
+    each iteration gathers one (K, n) plane — cols[s₂] and vals[s₂]
+    evaluated at j = a.cols — and accumulates where the column matches i.
+    Work is identical (O(K²·n) compares), peak memory drops K-fold.
     """
     ri = a.row_iota()
-    k = a.k
-    outs = []
-    for s0 in range(0, k, _TRANSPOSE_CHUNK):
-        j = a.cols[s0: s0 + _TRANSPOSE_CHUNK]        # (c, n)
-        cols_j = jnp.take(a.cols, j, axis=1)          # (K, c, n)
-        nnz_j = jnp.take(a.rownnz, j, axis=0)         # (c, n)
-        sl2 = jax.lax.broadcasted_iota(jnp.int32, cols_j.shape, 0)
-        hit = (cols_j == ri[None, s0: s0 + _TRANSPOSE_CHUNK, :])             & (sl2 < nnz_j[None, :, :])
+    j = a.cols                                       # (K, n)
+    nnz_j = jnp.take(a.rownnz, j, axis=0)            # (K, n)
+    if reduce_vals:
+        init = jnp.zeros(j.shape, a.vals.dtype)
+    else:
+        init = jnp.zeros(j.shape, bool)
+
+    def body(s2, acc):
+        cols_row = jnp.take(a.cols, s2, axis=0)      # (n,)
+        cols_j = jnp.take(cols_row, j, axis=0)       # (K, n)
+        hit = (cols_j == ri) & (s2 < nnz_j)
         if reduce_vals:
-            vals_j = jnp.take(a.vals, j, axis=1)
-            outs.append(jnp.sum(jnp.where(hit, vals_j, 0.0), axis=0))
-        else:
-            outs.append(jnp.any(hit, axis=0))
-    return jnp.concatenate(outs, axis=0)
+            vals_row = jnp.take(a.vals, s2, axis=0)
+            vals_j = jnp.take(vals_row, j, axis=0)
+            return acc + jnp.where(hit, vals_j, 0.0)
+        return acc | hit
+
+    return jax.lax.fori_loop(0, a.k, body, init)
 
 
 def transposed_slot_values(a: ELL) -> jnp.ndarray:
