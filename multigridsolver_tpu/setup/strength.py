@@ -134,12 +134,27 @@ def mu_slots_notay(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
     return valp, ok
 
 
+def _rel_eps(dtype) -> float:
+    """Relative comparison tolerance — the role of the Fortran's repsmach
+    guards (e.g. ``dagtwolev_mex.f90:745`` ``(vald+ods) .LT. -repsmach``).
+
+    For conservative problems aᵢᵢ − sᵢ is *analytically zero* on interior
+    rows; without a tolerance its floating-point sign is rounding noise
+    and flips with compiler fusion choices (observed: XLA jit vs eager
+    disagreeing on 80 % of feasibility tests on csky3d(80) in f32,
+    collapsing the aggregation).
+    """
+    return float(100 * np.finfo(np.dtype(dtype)).eps)
+
+
 def feasible_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray) -> jnp.ndarray:
     """aᵢᵢ − sᵢ + aⱼⱼ − sⱼ ≥ 0 per slot (``AGMG.cpp:159``,
-    ``Aggregation.cu:157-159``)."""
+    ``Aggregation.cu:157-159``), with a repsmach-style relative guard."""
+    ajj = jnp.take(diag, a.cols, axis=0)
     lhs = (diag[None, :] - si[None, :]
-           + jnp.take(diag, a.cols, axis=0) - jnp.take(si, a.cols, axis=0))
-    return lhs >= 0.0
+           + ajj - jnp.take(si, a.cols, axis=0))
+    tol = _rel_eps(diag.dtype) * (jnp.abs(diag)[None, :] + jnp.abs(ajj))
+    return lhs >= -tol
 
 
 def compute_strength(a: ELL, ktg: float, first_pass: bool,
@@ -178,7 +193,8 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
             # (including the diagonal: aᵢᵢ + ods < 0 ⇔ diag − sᵢ < 0), the
             # DD exclusions are cancelled wholesale (ind2(1:n) = -1; the
             # trspos transfers via iperm are NOT cancelled).
-            neg = jnp.sum(((diag - si) < 0.0) & rowmask)
+            tol = _rel_eps(diag.dtype) * jnp.abs(diag)
+            neg = jnp.sum(((diag - si) < -tol) & rowmask)
             zerors = neg > fracnegrcsum * jnp.maximum(jnp.sum(rowmask), 1)
             excl = jnp.where(zerors, jnp.zeros_like(excl), excl)
         if trspos > 0.0:
@@ -201,5 +217,18 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
                    & (mu > 0.0) & (mu <= ktg)
                    & not_excl
                    & feasible_slots(a, diag, si))
+    # The handshake matching needs μ(i→j) == μ(j→i) *bitwise*: mutual
+    # acceptance compares each side's best.  Although the formula is
+    # algebraically symmetric, XLA's fusion (FMA contraction /
+    # reassociation under --xla_allow_excess_precision) reorders the two
+    # operand roles differently per slot, introducing ~1e-5 asymmetries in
+    # f32 that stall the matching rounds (observed: csky3d(80) pairing
+    # collapsing 92% → 19% under jit).  Symmetrise explicitly through the
+    # transposed pattern — exact by construction — and restrict candidates
+    # to bidirectional pattern edges (one-sided edges can never be
+    # mutually accepted by a handshake anyway).
+    mu_t, has_pair = ops.transpose_slot_field(a, mu)
+    mu = jnp.where(has_pair, 0.5 * mu + 0.5 * mu_t, mu)
+    allowed = allowed & has_pair
     return StrengthData(diag=diag, si=si, excluded=excl, mu=mu,
                         allowed=allowed, vals_t=vals_t)

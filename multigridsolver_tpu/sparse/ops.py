@@ -118,6 +118,34 @@ def pair_exists(a: ELL) -> jnp.ndarray:
     return _transposed_lookup(a, reduce_vals=False) & a.slot_mask()
 
 
+def transpose_slot_field(a: ELL, field: jnp.ndarray
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fetch an arbitrary per-slot field through the transposed pattern.
+
+    Returns (field_t, has_pair): field_t[s, i] = field[s', j] where slot
+    (s, i) stores column j and slot (s', j) stores column i (0 where no
+    such transposed slot exists), and has_pair marks slots whose
+    transposed entry is stored.  Same O(K·n)-memory source-slot loop as
+    ``_transposed_lookup``.
+    """
+    ri = a.row_iota()
+    j = a.cols
+    nnz_j = jnp.take(a.rownnz, j, axis=0)
+    init = (jnp.zeros(j.shape, field.dtype), jnp.zeros(j.shape, bool))
+
+    def body(s2, carry):
+        acc, has = carry
+        cols_row = jnp.take(a.cols, s2, axis=0)
+        cols_j = jnp.take(cols_row, j, axis=0)
+        hit = (cols_j == ri) & (s2 < nnz_j)
+        f_row = jnp.take(field, s2, axis=0)
+        f_j = jnp.take(f_row, j, axis=0)
+        return acc + jnp.where(hit, f_j, 0), has | hit
+
+    acc, has = jax.lax.fori_loop(0, a.k, body, init)
+    return acc, has & a.slot_mask()
+
+
 def symmetrized_offdiag_sums(a: ELL) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row (Σⱼ≠ᵢ |(aᵢⱼ + aⱼᵢ)/2|,  Σⱼ≠ᵢ (aᵢⱼ + aⱼᵢ)/2).
 
