@@ -161,7 +161,8 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
                      checkdd: float = -0.5, trspos: float = 0.0,
                      fracnegrcsum: float = 0.0,
                      symmetric: bool = False,
-                     mu_mode: str = "simple") -> StrengthData:
+                     mu_mode: str = "simple",
+                     mu_symmetrize: bool = False) -> StrengthData:
     """All per-pass strength data in one jittable computation.
 
     ``first_pass=False`` disables the G0/trspos exclusions, matching the
@@ -217,18 +218,17 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
                    & (mu > 0.0) & (mu <= ktg)
                    & not_excl
                    & feasible_slots(a, diag, si))
-    # The handshake matching needs μ(i→j) == μ(j→i) *bitwise*: mutual
-    # acceptance compares each side's best.  Although the formula is
-    # algebraically symmetric, XLA's fusion (FMA contraction /
-    # reassociation under --xla_allow_excess_precision) reorders the two
-    # operand roles differently per slot, introducing ~1e-5 asymmetries in
-    # f32 that stall the matching rounds (observed: csky3d(80) pairing
-    # collapsing 92% → 19% under jit).  Symmetrise explicitly through the
-    # transposed pattern — exact by construction — and restrict candidates
-    # to bidirectional pattern edges (one-sided edges can never be
-    # mutually accepted by a handshake anyway).
-    mu_t, has_pair = ops.transpose_slot_field(a, mu)
-    mu = jnp.where(has_pair, 0.5 * mu + 0.5 * mu_t, mu)
-    allowed = allowed & has_pair
+    if mu_symmetrize:
+        # Belt-and-braces for the handshake matching, which needs
+        # μ(i→j) == μ(j→i) bitwise for mutual acceptance: although every
+        # op in μ is a commutative combination of the same operands (so
+        # slot pairs agree bitwise in practice), compiler reassociation
+        # could in principle break this.  Symmetrising through the
+        # transposed pattern is exact by construction but costs an extra
+        # O(K²·n) pass; disabled by default since the tolerance guards
+        # above fixed the observed f32 matching collapse.
+        mu_t, has_pair = ops.transpose_slot_field(a, mu)
+        mu = jnp.where(has_pair, 0.5 * mu + 0.5 * mu_t, mu)
+        allowed = allowed & has_pair
     return StrengthData(diag=diag, si=si, excluded=excl, mu=mu,
                         allowed=allowed, vals_t=vals_t)
