@@ -103,15 +103,24 @@ def hybrid_from_ell(a: ELL, **kw) -> HYB:
     return hybrid_from_csr(a.to_csr(), **kw)
 
 
+# flip to route the diagonal part through the fused Pallas kernel
+# (ops/spmv_pallas.py); default off until it beats the XLA rolls
+USE_PALLAS_DIA = False
+
+
 def spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x at vector-unit speed for the diagonal part.
 
     roll wraps around, but wrapped positions always carry dval = 0 (the
     splitter only stores in-range entries), so no edge masking is needed.
     """
-    y = jnp.zeros((a.npad,), dtype=x.dtype)
-    for d, o in enumerate(a.offsets):
-        y = y + a.dvals[d] * jnp.roll(x, -o)
+    if USE_PALLAS_DIA and a.offsets and x.dtype == jnp.float32:
+        from ..ops.spmv_pallas import dia_spmv_pallas
+        y = dia_spmv_pallas(a.dvals, x, a.offsets)
+    else:
+        y = jnp.zeros((a.npad,), dtype=x.dtype)
+        for d, o in enumerate(a.offsets):
+            y = y + a.dvals[d] * jnp.roll(x, -o)
     if a.ell is not None:
         y = y + ell_ops.spmv(a.ell, x)
     return y
