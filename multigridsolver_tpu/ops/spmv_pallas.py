@@ -50,19 +50,19 @@ def dia_spmv_pallas(dvals: jnp.ndarray, x: jnp.ndarray, offsets: tuple,
     ``x``: (npad,) with npad == dvals.shape[1]; returns (npad,).
     """
     d_count, npad = dvals.shape
-    if npad % tile != 0:
-        tile = int(np.gcd(npad, tile))
-        tile = max(tile, 512)
-        while npad % tile != 0:
-            tile //= 2
+    npad_t = _round_up(npad, tile)
+    if npad_t != npad:
+        # grow to a tile multiple; extra rows carry dval = 0
+        dvals = jnp.pad(dvals, ((0, 0), (0, npad_t - npad)))
+        x = jnp.pad(x, (0, npad_t - npad))
     halo = _round_up(max((abs(o) for o in offsets), default=0), 128)
     # pad x with halo zeros on both sides so window DMAs stay in-bounds
     xp = jnp.concatenate([jnp.zeros((halo,), x.dtype), x,
                           jnp.zeros((halo,), x.dtype)])
-    grid = (npad // tile,)
-    return pl.pallas_call(
+    grid = (npad_t // tile,)
+    out = pl.pallas_call(
         partial(_dia_kernel, offsets, halo, tile),
-        out_shape=jax.ShapeDtypeStruct((npad,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((npad_t,), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # x stays in HBM
@@ -76,6 +76,7 @@ def dia_spmv_pallas(dvals: jnp.ndarray, x: jnp.ndarray, offsets: tuple,
             pltpu.SemaphoreType.DMA,
         ],
     )(xp, dvals)
+    return out[:npad]
 
 
 def hyb_spmv_pallas(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
