@@ -83,18 +83,21 @@ def cmd_solve(args):
         with timer.phase("setup"):
             setup = build_amg_setup(ell, cfg)
         print_info("levels", [m.nrows for m in setup.matrices])
+        combo = "additive" if args.additive else "multiplicative"
         with timer.phase("hierarchy"):
             hier = build_hierarchy(setup.matrices[0], setup.level_labels,
                                    setup.matrices[1:],
                                    smoother_kind=args.smoother,
                                    cycle="kcycle", pre_smooth=1,
-                                   post_smooth=1)
+                                   post_smooth=1, combination=combo)
     else:
         p = read_mtx(_matrix_path(args,
                                   f"{args.matrix}promatrix_{args.device}"))
         with timer.phase("hierarchy"):
-            hier = two_level_from_p(a, p, smoother_kind=args.smoother,
-                                    dtype=dtype)
+            hier = two_level_from_p(
+                a, p, smoother_kind=args.smoother, dtype=dtype,
+                combination="additive" if args.additive else
+                "multiplicative")
     with timer.phase("solve"):
         res = solve_hierarchy(hier, b, method=args.method, tol=args.tol,
                               maxiter=args.maxiter)
@@ -154,7 +157,10 @@ def build_parser():
     s.add_argument("device", nargs="?", default="tpu",
                    help="promatrix source tag (cpu|gpu|tpu)")
     s.add_argument("--method", default="bicgstab",
-                   choices=["bicgstab", "cg", "fcg"])
+                   choices=["bicgstab", "cg", "fcg", "gmres"])
+    s.add_argument("--additive", action="store_true",
+                   help="additive coarse+smoother combination "
+                        "(main.cpp:74) instead of multiplicative")
     s.add_argument("--tol", type=float, default=1e-6)
     s.add_argument("--maxiter", type=int, default=10000)
     s.add_argument("--seed", type=int, default=0)

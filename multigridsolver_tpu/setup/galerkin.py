@@ -158,24 +158,29 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     active = labels >= 0
     lead = jnp.minimum(nodes, jnp.where(paired >= 0, paired, nodes))
     is_leader = active & (lead == nodes)
-    leader_of = jnp.zeros((nc,), jnp.int32).at[
+    # -1 sentinel: padding aggregates in [nc_true, nc) receive no leader
+    # and must produce EMPTY coarse rows (otherwise fine row 0's data is
+    # duplicated into every padding row, polluting coarse SpMVs / vdots)
+    leader_of = jnp.full((nc,), -1, jnp.int32).at[
         jnp.where(is_leader, labels, nc - 1)].max(
-        jnp.where(is_leader, nodes, 0))
-    partner_of = jnp.take(paired, leader_of, axis=0)
-    partner_of = jnp.where(partner_of >= 0, partner_of, leader_of)
-    has_partner = partner_of != leader_of
+        jnp.where(is_leader, nodes, -1))
+    real = leader_of >= 0
+    safe_leader = jnp.maximum(leader_of, 0)
+    partner_of = jnp.take(paired, safe_leader, axis=0)
+    partner_of = jnp.where(partner_of >= 0, partner_of, safe_leader)
+    has_partner = real & (partner_of != safe_leader)
 
     def member_rows(members):
         cols_m = jnp.take(a.cols, members, axis=1)       # (K, nc)
         vals_m = jnp.take(a.vals, members, axis=1)
         nnz_m = jnp.take(a.rownnz, members, axis=0)      # (nc,)
         sl = jax.lax.broadcasted_iota(jnp.int32, cols_m.shape, 0)
-        ok = sl < nnz_m[None, :]
+        ok = (sl < nnz_m[None, :]) & real[None, :]
         lc = jnp.take(labels, cols_m, axis=0)            # coarse col labels
         ok = ok & (lc >= 0)
         return jnp.where(ok, lc, nc), jnp.where(ok, vals_m, 0.0)
 
-    c1, v1 = member_rows(leader_of)
+    c1, v1 = member_rows(safe_leader)
     c2, v2 = member_rows(partner_of)
     c2 = jnp.where(has_partner[None, :], c2, nc)         # mask duplicates
     v2 = jnp.where(has_partner[None, :], v2, 0.0)

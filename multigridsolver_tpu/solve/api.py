@@ -138,6 +138,7 @@ def solve(a: CSR, b: np.ndarray, config=None, timer=None):
     hier = build_hierarchy(
         setup.matrices[0], setup.level_labels, setup.matrices[1:],
         smoother_kind=cfg.smoother.kind, cycle=cyc, pre_smooth=pre,
+        combination="multiplicative" if cfg.multiplicative else "additive",
         post_smooth=1, degree=cfg.smoother.degree,
         omega=cfg.smoother.omega, sweeps=cfg.smoother.sweeps,
         lmin_frac=cfg.smoother.lmin_frac,

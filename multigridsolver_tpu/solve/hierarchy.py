@@ -82,7 +82,7 @@ def make_coarse_solve(a: ELL) -> CoarseSolve:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["levels", "coarse"],
          meta_fields=["cycle", "pre_smooth", "post_smooth", "kcycle_steps",
-                      "kcycle_depth"])
+                      "kcycle_depth", "combination"])
 @dataclass
 class Hierarchy:
     levels: tuple[Level, ...]
@@ -91,6 +91,10 @@ class Hierarchy:
     pre_smooth: int = 0
     post_smooth: int = 1
     kcycle_steps: int = 2
+    # how the coarse correction and the smoother combine at each level:
+    # "multiplicative" (main.cpp:70-72: c + S(v − A·c)) or "additive"
+    # (main.cpp:74: c + S(v) — both applied to the same input, summed)
+    combination: str = "multiplicative"
     # apply the inner-Krylov acceleration only on the finest kcycle_depth
     # levels: the recursion multiplies work by kcycle_steps per level, so
     # unbounded depth costs 2^L coarse visits for little extra convergence
@@ -126,6 +130,12 @@ def _cycle(hier: Hierarchy, idx: int, b: jnp.ndarray) -> jnp.ndarray:
         return hier.coarse.solve(b)
     level = hier.levels[idx]
     a = level.a
+    if hier.combination == "additive":
+        # additive two-level combo (main.cpp:74): coarse correction and
+        # smoother both act on b, results summed — cheaper per application
+        # (no extra fine SpMV), weaker than the multiplicative form
+        return (_coarse_correct(level, hier, idx, b)
+                + level.smoother.solve(a, b))
     if hier.pre_smooth == 0:
         # start from the coarse-grid correction of b itself — with one
         # post-smooth this reproduces the reference's multiplicative
@@ -170,7 +180,9 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
                     coarse_ops: list[ELL], smoother_kind: str = "chebyshev",
                     cycle: str = "vcycle", pre_smooth: int = 0,
                     post_smooth: int = 1, use_hybrid: bool = True,
-                    kcycle_depth: int = 3, **smoother_kw) -> Hierarchy:
+                    kcycle_depth: int = 3,
+                    combination: str = "multiplicative",
+                    **smoother_kw) -> Hierarchy:
     """Assemble a Hierarchy from setup outputs.
 
     ``level_labels[l]``: labels taking level-l row space → level-(l+1)
@@ -198,4 +210,5 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
     return Hierarchy(levels=tuple(levels),
                      coarse=make_coarse_solve(mats[-1]),
                      cycle=cycle, pre_smooth=pre_smooth,
-                     post_smooth=post_smooth, kcycle_depth=kcycle_depth)
+                     post_smooth=post_smooth, kcycle_depth=kcycle_depth,
+                     combination=combination)

@@ -225,9 +225,12 @@ def gmres(matvec, b, precond=None, x0=None, tol: float = 1e-6,
     """Right-preconditioned restarted GMRES(m).
 
     Arnoldi with modified Gram-Schmidt in a fixed-size Krylov basis
-    (static shapes for jit); the least-squares problem is solved by
-    Givens-free normal equations on the small Hessenberg (m ≤ ~50, done
-    densely on the MXU).  Iteration counting matches matvec applications.
+    (static shapes for jit); the Hessenberg least-squares problem is
+    reduced progressively by Givens rotations (the textbook QR — not
+    normal equations, which would square the conditioning in f32).  The
+    rotations also yield the implicit residual |g[j+1]| at every Arnoldi
+    step, so convergence inside a restart is credited with the true step
+    count, not a full m.
     """
     if precond is None:
         precond = lambda v: v
@@ -246,11 +249,14 @@ def gmres(matvec, b, precond=None, x0=None, tol: float = 1e-6,
         beta = _norm(r)
         v0 = r / jnp.where(beta == 0.0, 1.0, beta)
         basis = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
-        hess = jnp.zeros((m + 1, m), b.dtype)
-        zs = jnp.zeros((m, n), b.dtype)     # preconditioned directions
+        rmat = jnp.zeros((m + 1, m), b.dtype)   # rotated (triangular) H
+        zs = jnp.zeros((m, n), b.dtype)         # preconditioned directions
+        g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        cs = jnp.zeros(m, b.dtype)
+        sn = jnp.zeros(m, b.dtype)
 
         def arnoldi(j, carry):
-            basis, hess, zs = carry
+            basis, rmat, zs, g, cs, sn, done_at, resid_c = carry
             z = precond(basis[j])
             w = matvec(z)
             # modified Gram-Schmidt against all basis vectors (masked)
@@ -266,17 +272,44 @@ def gmres(matvec, b, precond=None, x0=None, tol: float = 1e-6,
             hcol = hcol.at[j + 1].set(hjj)
             vnext = w / jnp.where(hjj == 0.0, 1.0, hjj)
             basis = basis.at[j + 1].set(vnext)
-            return basis, hess.at[:, j].set(hcol), zs.at[j].set(z)
 
-        basis, hess, zs = jax.lax.fori_loop(0, m, arnoldi,
-                                            (basis, hess, zs))
-        # least squares: min ||beta e1 − H y|| via normal equations
-        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
-        hth = hess.T @ hess + 1e-30 * jnp.eye(m, dtype=b.dtype)
-        y = jnp.linalg.solve(hth, hess.T @ e1)
+            # apply the previous rotations 0..j-1 to the new column
+            def rot(i, hcol):
+                hi = cs[i] * hcol[i] + sn[i] * hcol[i + 1]
+                hi1 = -sn[i] * hcol[i] + cs[i] * hcol[i + 1]
+                return jnp.where(i < j,
+                                 hcol.at[i].set(hi).at[i + 1].set(hi1),
+                                 hcol)
+
+            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+            # new rotation annihilating hcol[j+1]
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            c = jnp.where(denom == 0.0, 1.0, hcol[j] / _nz(denom))
+            s = jnp.where(denom == 0.0, 0.0, hcol[j + 1] / _nz(denom))
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+            resid_j = jnp.abs(g[j + 1]) / normb
+            active = j < done_at
+            resid_c = jnp.where(active, resid_j, resid_c)
+            done_at = jnp.where(active & (resid_j < tol),
+                                jnp.int32(j + 1), done_at)
+            return (basis, rmat.at[:, j].set(hcol), zs.at[j].set(z),
+                    g, cs.at[j].set(c), sn.at[j].set(s), done_at, resid_c)
+
+        carry = (basis, rmat, zs, g, cs, sn, jnp.int32(m),
+                 beta / normb)
+        basis, rmat, zs, g, cs, sn, done_at, resid_c = jax.lax.fori_loop(
+            0, m, arnoldi, carry)
+        # back-substitute only the first done_at columns: mask the rest of
+        # R to identity and g to 0 so their y entries vanish
+        idx = jnp.arange(m)
+        keep = idx < done_at
+        r_mm = jnp.where(keep[:, None] & keep[None, :], rmat[:m, :m],
+                         jnp.eye(m, dtype=b.dtype))
+        g_eff = jnp.where(keep, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(r_mm, g_eff, lower=False)
         x = x + y @ zs
-        r = b - matvec(x)
-        return dict(x=x, resid=_norm(r) / normb, iters=st["iters"] + m)
+        return dict(x=x, resid=resid_c, iters=st["iters"] + done_at)
 
     r0 = b - matvec(x)
     st = jax.lax.while_loop(outer_cond, outer_body,

@@ -52,8 +52,9 @@ def jacobi_diag(a, l1: bool = False) -> jnp.ndarray:
         if _is_hyb(a):
             d = d + hybrid.row_sum_abs_offdiag(a)
         else:
-            d = d + ops.row_sum(a, absolute=True, skip_diag=True) \
-                - jnp.abs(d)
+            # row_sum(skip_diag=True) already excludes a_ii, so the l1
+            # safeguard is simply d + Σⱼ≠ᵢ|aᵢⱼ| (matches the hybrid path)
+            d = d + ops.row_sum(a, absolute=True, skip_diag=True)
     # padded rows have d == 0; make the inverse harmless
     return jnp.where(d != 0.0, d, 1.0)
 

@@ -91,9 +91,14 @@ void *mgio_read_mtx(const char *path) {
   for (int64_t k = 0; k < nnz; ++k) {
     int64_t i = std::strtoll(p, &q, 10);
     if (q == p) { delete_later: res->ok = false; return res; }
+    // compare each strtoll/strtod against the pointer it started from — a
+    // truncated line (missing j or v) must fail, not produce col=-1/val=0
+    const char *before = q;
     int64_t j = std::strtoll(q, &q, 10);
+    if (q == before) goto delete_later;
+    before = q;
     double v = std::strtod(q, &q);
-    if (q == p) goto delete_later;
+    if (q == before) goto delete_later;
     p = q;
     res->row.push_back(i - 1);
     res->col.push_back(j - 1);

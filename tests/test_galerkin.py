@@ -108,3 +108,35 @@ class TestProlongation:
         # the shipped file was generated with npass=4: aggregates ≤ 2^4
         sizes = np.bincount(labels[labels >= 0])
         assert sizes.max() <= 16
+
+
+class TestGalerkinPair:
+    def test_padding_rows_empty(self):
+        """Coarse slots in [nc_true, nc_pad) must produce EMPTY rows — a
+        round-1 bug scattered fine row 0 into every padding aggregate."""
+        from multigridsolver_tpu.setup.galerkin import (galerkin_pair_arrays,
+                                                        galerkin_pair_ell)
+        import jax
+        # 12-node path graph, pair (0,1)(2,3)... -> 6 aggregates
+        n = 12
+        a = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+        csr = CSR.from_scipy(a)
+        ell = csr.to_ell(dtype=jnp.float64)   # npad = 16
+        labels = np.repeat(np.arange(6), 2).astype(np.int32)
+        lab = np.full(ell.npad, -1, np.int32); lab[:n] = labels
+        paired = np.full(ell.npad, -1, np.int32)
+        paired[:n] = np.arange(n) ^ 1         # partner = neighbor in pair
+        nc_pad = 8                            # 2 padding aggregates
+        cols, vals, rownnz, info = jax.jit(
+            galerkin_pair_arrays, static_argnums=(3,))(
+            ell, jnp.asarray(paired), jnp.asarray(lab), nc_pad)
+        rownnz = np.asarray(rownnz)
+        assert rownnz[6:].sum() == 0, rownnz
+        assert np.asarray(vals)[:, 6:].sum() == 0.0
+        assert int(info[0]) == 16             # true coarse nnz (tridiag 6)
+        # full driver path agrees with scipy RAP
+        ac, nnz_c = galerkin_pair_ell(ell, jnp.asarray(paired),
+                                      jnp.asarray(lab), 6)
+        expect = scipy_rap(csr, labels, 6)
+        np.testing.assert_allclose(ac.to_csr().to_dense(), expect,
+                                   rtol=1e-12, atol=1e-12)

@@ -36,7 +36,10 @@ class TestSmoothers:
         for _ in range(8):
             x = sm.apply(ell, bp, x)
         r = float(jnp.linalg.norm(bp - ops.spmv(ell, x)))
-        assert r < 0.5 * r0, f"{kind}: {r} vs {r0}"
+        # l1-Jacobi's safeguarded diagonal (a_ii + Σ|offdiag|) is by design
+        # conservative — guaranteed convergent but slower per sweep
+        bound = 0.6 if kind == "l1jacobi" else 0.5
+        assert r < bound * r0, f"{kind}: {r} vs {r0}"
 
     def test_gs2_matches_exact_gs_with_many_inner(self):
         """With enough inner Jacobi sweeps the two-stage GS equals exact
@@ -160,3 +163,42 @@ class TestEndToEndShippedP:
         x = np.asarray(res.x)
         r = b - a.to_scipy() @ x
         assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+
+class TestAdviceFixes:
+    def test_l1jacobi_diag_ell_matches_hybrid(self):
+        """l1-Jacobi diagonal must be a_ii + sum|offdiag| on BOTH the ELL
+        and hybrid paths (round-1 bug: ELL path double-subtracted a_ii)."""
+        from multigridsolver_tpu.solve.smoothers import jacobi_diag
+        from multigridsolver_tpu.sparse import hybrid
+        n = 6
+        a = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+        ell = CSR.from_scipy(a).to_ell(dtype=jnp.float64)
+        d_ell = np.asarray(jacobi_diag(ell, l1=True))[:n]
+        np.testing.assert_allclose(d_ell, [3, 4, 4, 4, 4, 3])
+        hyb = hybrid.hybrid_from_ell(ell)
+        d_hyb = np.asarray(jacobi_diag(hyb, l1=True))[:n]
+        np.testing.assert_allclose(d_hyb, d_ell)
+
+    def test_additive_combination(self):
+        """main.cpp:74 additive combo: M(v) = coarse_correct(v) + S(v);
+        must converge (more iters than multiplicative is expected)."""
+        a, b = spd_problem(10)
+        p = read_mtx(reference_matrix_path("poisson10000promatrix.mtx"))
+        # build a small P for the 100-node problem by 2x1 pairing instead
+        labels = (np.arange(100) // 2).astype(np.int32)
+        from multigridsolver_tpu.setup.prolongation import p_csr_from_labels
+        p = p_csr_from_labels(labels, 50)
+        hier_m = two_level_from_p(a, p, smoother_kind="gs2",
+                                  dtype=jnp.float64)
+        hier_a = two_level_from_p(a, p, smoother_kind="gs2",
+                                  dtype=jnp.float64, combination="additive")
+        rm = solve_hierarchy(hier_m, b, tol=1e-8, maxiter=500)
+        ra = solve_hierarchy(hier_a, b, tol=1e-8, maxiter=500)
+        assert int(rm.status) == 0 and int(ra.status) == 0
+        # both solve the system
+        np.testing.assert_allclose(a.to_scipy() @ np.asarray(ra.x), b,
+                                   atol=1e-6)
+        # and the combination mode actually changes the operator
+        assert int(ra.iterations) != int(rm.iterations) or not np.allclose(
+            np.asarray(ra.x), np.asarray(rm.x))
