@@ -80,8 +80,11 @@ def shard_operator(a, mesh: Mesh):
         rows2d = NamedSharding(mesh, P(None, "rows"))
         ell = shard_ell(repad_ell(a.ell, ndev * 8), mesh) \
             if a.ell is not None else None
+        # the windowed-gather plan is single-chip (pallas_call is not
+        # shard-aware here); sharded remainders take the XLA gather path
         return HYB(dvals=jax.device_put(dvals, rows2d), ell=ell,
-                   offsets=a.offsets, nrows=a.nrows, ncols=a.ncols)
+                   base_blk=None, offsets=a.offsets,
+                   nrows=a.nrows, ncols=a.ncols, wr=None, nsrc_pad=None)
     return shard_ell(a, mesh)
 
 
@@ -118,8 +121,15 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh,
             sm = dataclasses.replace(
                 sm, d=_pad_replicated(sm.d, a.npad, mesh, fill=1.0))
             new_levels.append(Level(a=a, labels=labels, smoother=sm,
-                                    nc_pad=lvl.nc_pad))
+                                    tplan=None, nc_pad=lvl.nc_pad))
         else:
+            # single-chip pallas plans don't partition; deeper (replicated)
+            # levels take the XLA transfer/gather paths
+            lvl = dataclasses.replace(lvl, tplan=None)
+            if hasattr(lvl.a, "offsets"):
+                lvl = dataclasses.replace(
+                    lvl, a=dataclasses.replace(lvl.a, base_blk=None,
+                                               wr=None, nsrc_pad=None))
             new_levels.append(replicate(lvl, mesh))
     coarse = replicate(hier.coarse, mesh)
     return dataclasses.replace(hier, levels=tuple(new_levels), coarse=coarse)

@@ -1,0 +1,160 @@
+"""Windowed-gather transfer plans: prolongation and restriction at kernel
+speed.
+
+The label-vector transfer layer (prolongation.py) is algebraically free on
+paper — P @ xc is one gather, Pᵀ @ v one scatter-add — but XLA lowers both
+to ~7 ns/element scalar loops on TPU, which made the finest level's
+restrict+prolong ~15 % of every cycle.  Both map onto the windowed-gather
+kernel (ops/gather_pallas.py):
+
+* prolongation is a K = 1 gather whose indices are the labels themselves;
+  labels follow the row index (aggregates are numbered in leader order,
+  setup/matching.py), so windows are tiny;
+* restriction is re-expressed as a gather *from the coarse side*: a
+  members-ELL whose row c lists the fine indices of aggregate c
+  (Pᵀ v)[c] = Σ_m v[members[m, c]].  This replaces the reference's
+  explicit Pᵀ CSR SpMV (``src/GPU_CUDAC++/main.cu:251-261``) with no
+  scatter at all.  Member windows span ~ratio · 1024 fine rows per coarse
+  tile, so the planner may need the large window sizes (wr = 32).
+
+Plans are built once at hierarchy-build time from the device labels; when
+a window plan does not exist (pathological orderings) the caller falls
+back to the XLA gather/scatter path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import gather_pallas as gp
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["p_cols", "p_vals", "p_base", "m_cols", "m_vals",
+                      "m_base"],
+         meta_fields=["p_wr", "p_nsrc", "m_wr", "m_nsrc", "npad_f",
+                      "nc_pad"])
+@dataclass
+class TransferPlan:
+    """Kernel-ready transfer operators for one level.
+
+    ``p_*``: prolongation gather (K = 1 over fine rows, sources coarse).
+    ``m_*``: restriction members gather (K = max aggregate size over
+    coarse rows, sources fine).  Either base may be None → no window plan
+    for that direction (fallback)."""
+
+    p_cols: jnp.ndarray
+    p_vals: jnp.ndarray
+    p_base: jnp.ndarray | None
+    m_cols: jnp.ndarray
+    m_vals: jnp.ndarray
+    m_base: jnp.ndarray | None
+    p_wr: int | None
+    p_nsrc: int | None
+    m_wr: int | None
+    m_nsrc: int | None
+    npad_f: int
+    nc_pad: int
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("km", "nc_t"))
+def _members_ell(labels: jnp.ndarray, km: int, nc_t: int):
+    """Device build of the members-ELL: cols[r, c] = fine index of the
+    r-th member of aggregate c (0 beyond the aggregate size, val 0)."""
+    npad = labels.shape[0]
+    valid = labels >= 0
+    key = jnp.where(valid, labels, nc_t)          # invalid sorts last
+    order = jnp.argsort(key, stable=True)
+    slab = jnp.take(key, order, axis=0)
+    idxs = jnp.arange(npad, dtype=jnp.int32)
+    newgrp = jnp.concatenate([jnp.ones((1,), bool), slab[1:] != slab[:-1]])
+    grp_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newgrp, idxs, -1))
+    rank = idxs - grp_start
+    ok = slab < nc_t
+    # guard-row/col scatter: invalid entries land in the trash slot
+    r_idx = jnp.where(ok, rank, km)
+    c_idx = jnp.where(ok, slab, nc_t)
+    cols = jnp.zeros((km + 1, nc_t + 1), jnp.int32)
+    cols = cols.at[r_idx, c_idx].set(order.astype(jnp.int32))
+    vals = jnp.zeros((km + 1, nc_t + 1), jnp.float32)
+    vals = vals.at[r_idx, c_idx].set(1.0)
+    rownnz = jnp.zeros((nc_t + 1,), jnp.int32).at[c_idx].add(
+        ok.astype(jnp.int32))
+    km_actual = jnp.max(jnp.where(ok, rank, -1)) + 1
+    return cols[:km, :nc_t], vals[:km, :nc_t], rownnz[:nc_t], km_actual
+
+
+@jax.jit
+def _max_agg_size(labels: jnp.ndarray):
+    valid = labels >= 0
+    n = labels.shape[0]
+    counts = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.where(valid, labels, n)].add(valid.astype(jnp.int32))
+    return jnp.max(counts[:n])
+
+
+def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
+    """Build both directions' kernel arrays + window plans from a level's
+    (device) label vector.  Host syncs: one scalar (max aggregate size)
+    and the per-tile min/max reductions — all tiny."""
+    npad = labels.shape[0]
+    npad_f = _round_up(npad, gp.T)
+    if npad_f != npad:
+        labels = jnp.concatenate(
+            [labels, jnp.full((npad_f - npad,), -1, jnp.int32)])
+    nc_t = _round_up(nc_pad, gp.T)
+
+    # --- prolongation arrays: one slot per fine row ---
+    valid = labels >= 0
+    p_cols = jnp.where(valid, labels, 0).astype(jnp.int32)[None, :]
+    p_vals = valid.astype(jnp.float32)[None, :]
+    p_rnnz = valid.astype(jnp.int32)
+    cmin, cmax = gp.plan_windows_device(p_cols, p_rnnz, npad_f // gp.T)
+    plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax), nc_pad)
+    p_base = p_wr = p_nsrc = None
+    if plan is not None:
+        b, p_wr, p_nsrc = plan
+        p_base = jnp.asarray(b)
+
+    # --- restriction members ---
+    km = int(_max_agg_size(labels))
+    m_base = m_wr = m_nsrc = None
+    if km > 0:
+        m_cols, m_vals, m_rnnz, _ = _members_ell(labels, km, nc_t)
+        cmin, cmax = gp.plan_windows_device(m_cols, m_rnnz, nc_t // gp.T)
+        plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax),
+                                   npad_f)
+        if plan is not None and km * 2 * plan[1] <= 4096:
+            b, m_wr, m_nsrc = plan
+            m_base = jnp.asarray(b)
+    else:
+        m_cols = jnp.zeros((1, nc_t), jnp.int32)
+        m_vals = jnp.zeros((1, nc_t), jnp.float32)
+    return TransferPlan(p_cols=p_cols, p_vals=p_vals, p_base=p_base,
+                        m_cols=m_cols, m_vals=m_vals, m_base=m_base,
+                        p_wr=p_wr, p_nsrc=p_nsrc, m_wr=m_wr, m_nsrc=m_nsrc,
+                        npad_f=npad_f, nc_pad=nc_pad)
+
+
+def prolong_fast(tp: TransferPlan, xc: jnp.ndarray,
+                 out_len: int) -> jnp.ndarray:
+    """P @ xc via the windowed gather; (out_len,) result."""
+    y = gp.windowed_gather_spmv(tp.p_cols, tp.p_vals, xc, tp.p_base,
+                                tp.p_wr, tp.p_nsrc)
+    return y[:out_len]
+
+
+def restrict_fast(tp: TransferPlan, v: jnp.ndarray) -> jnp.ndarray:
+    """Pᵀ @ v via the members gather; (nc_pad,) result."""
+    y = gp.windowed_gather_spmv(tp.m_cols, tp.m_vals, v, tp.m_base,
+                                tp.m_wr, tp.m_nsrc)
+    return y[: tp.nc_pad]

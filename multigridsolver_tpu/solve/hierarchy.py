@@ -35,17 +35,20 @@ from .smoothers import Smoother, make_smoother
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["a", "labels", "smoother"],
+         data_fields=["a", "labels", "smoother", "tplan"],
          meta_fields=["nc_pad"])
 @dataclass
 class Level:
     """One grid level: its operator, the fine→coarse labels defining P, and
     the smoother state.  ``labels`` is (npad,) int32 with -1 for nodes kept
-    out of the coarse space (G0 nodes, AGMG.cpp:118-123)."""
+    out of the coarse space (G0 nodes, AGMG.cpp:118-123).  ``tplan`` (may
+    be None) carries the windowed-gather transfer plans — kernel-speed
+    prolong/restrict (setup/transfers.py)."""
 
     a: ELL
     labels: jnp.ndarray
     smoother: Smoother
+    tplan: object | None
     nc_pad: int
 
 
@@ -116,12 +119,19 @@ class Hierarchy:
 
 def _coarse_correct(level: Level, hier: Hierarchy, idx: int,
                     r: jnp.ndarray) -> jnp.ndarray:
-    rc = restrict(level.labels, r, level.nc_pad)
+    from ..setup import transfers as tf
+    tp = level.tplan
+    if tp is not None and tp.m_base is not None:
+        rc = tf.restrict_fast(tp, r)
+    else:
+        rc = restrict(level.labels, r, level.nc_pad)
     if (hier.cycle == "kcycle" and idx + 1 < len(hier.levels)
             and idx + 1 <= hier.kcycle_depth):
         xc = _kcycle_accel(hier, idx + 1, rc)
     else:
         xc = _cycle(hier, idx + 1, rc)
+    if tp is not None and tp.p_base is not None:
+        return tf.prolong_fast(tp, xc, r.shape[0])
     return prolong(level.labels, xc)
 
 
@@ -194,7 +204,10 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
     the stencil suites — see sparse/hybrid.py).
     """
     from ..sparse import hybrid as hyb
+    from ..ops import gather_pallas as gp
+    from ..setup.transfers import build_transfer_plan
 
+    use_plans = jax.default_backend() == "tpu" or gp.INTERPRET
     mats = [a] + list(coarse_ops)
     levels = []
     for l, labels in enumerate(level_labels):
@@ -205,7 +218,8 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
                 lab, jnp.full((fine.npad - lab.shape[0],), -1, jnp.int32)])
         op = hyb.hybrid_from_ell_device(fine) if use_hybrid else fine
         sm = make_smoother(op, kind=smoother_kind, **smoother_kw)
-        levels.append(Level(a=op, labels=lab, smoother=sm,
+        tplan = build_transfer_plan(lab, coarse.npad) if use_plans else None
+        levels.append(Level(a=op, labels=lab, smoother=sm, tplan=tplan,
                             nc_pad=coarse.npad))
     return Hierarchy(levels=tuple(levels),
                      coarse=make_coarse_solve(mats[-1]),

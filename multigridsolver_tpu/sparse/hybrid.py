@@ -33,19 +33,28 @@ from . import ops as ell_ops
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["dvals", "ell"],
-         meta_fields=["offsets", "nrows", "ncols"])
+         data_fields=["dvals", "ell", "base_blk"],
+         meta_fields=["offsets", "nrows", "ncols", "wr", "nsrc_pad"])
 @dataclass
 class HYB:
     """offsets: static diagonal shifts (tuple of ints, may be empty);
     dvals[d, i] = A[i, i + offsets[d]] (0 where absent / out of range);
-    ell: remainder entries (None when everything fits on the diagonals)."""
+    ell: remainder entries (None when everything fits on the diagonals).
+
+    When the remainder's per-1024-row-tile column spread fits a VMEM
+    window, ``base_blk``/``wr``/``nsrc_pad`` hold the windowed-gather
+    plan (ops/gather_pallas.py) and the remainder ELL is padded to a
+    1024-row multiple; the remainder SpMV then runs ~100x faster than
+    the XLA gather.  ``base_blk`` is None when no plan exists."""
 
     dvals: jnp.ndarray          # (D, n_pad) — D may be 0
     ell: ELL | None
+    base_blk: jnp.ndarray | None
     offsets: tuple
     nrows: int
     ncols: int
+    wr: int | None
+    nsrc_pad: int | None
 
     @property
     def npad(self) -> int:
@@ -93,8 +102,10 @@ def hybrid_from_csr(a: CSR, max_diags: int = 48, min_fill: float = 0.02,
                                    ((0, 0), (0, n_pad - ell.npad))),
                       rownnz=jnp.pad(ell.rownnz, (0, n_pad - ell.npad)),
                       nrows=ell.nrows, ncols=ell.ncols)
+    ell, base_blk, wr, nsrc_pad = _attach_gather_plan(ell)
     return HYB(dvals=jnp.asarray(dvals, dtype=dtype), ell=ell,
-               offsets=tuple(int(o) for o in good), nrows=n, ncols=m)
+               base_blk=base_blk, offsets=tuple(int(o) for o in good),
+               nrows=n, ncols=m, wr=wr, nsrc_pad=nsrc_pad)
 
 
 def hybrid_from_ell(a: ELL, **kw) -> HYB:
@@ -104,8 +115,56 @@ def hybrid_from_ell(a: ELL, **kw) -> HYB:
 
 
 # flip to route the diagonal part through the fused Pallas kernel
-# (ops/spmv_pallas.py); default off until it beats the XLA rolls
+# (ops/spmv_pallas.py); off: the XLA rolls measured 2.2x faster on v5e/v6e
+# (0.019 ms vs 0.043 ms at n=1M, marginal-cost timing)
 USE_PALLAS_DIA = False
+
+# route the ELL remainder through the windowed-gather Pallas kernel when a
+# window plan exists (ops/gather_pallas.py; measured ~100x vs XLA gather)
+USE_PALLAS_GATHER = True
+
+# unroll budget: the kernel emits K * 2wr vreg gather+selects; past this
+# the Mosaic compile time outweighs the win on small coarse levels
+_PLAN_UNROLL_BUDGET = 4096
+
+
+def _attach_gather_plan(ell: ELL | None):
+    """Pad the remainder to a 1024-row multiple and compute the windowed-
+    gather plan.  Returns (ell, base_blk, wr, nsrc_pad); plan fields are
+    None when the column spread defeats every window size."""
+    if ell is None or not USE_PALLAS_GATHER:
+        return ell, None, None, None
+    from ..ops import gather_pallas as gp
+    if jax.default_backend() != "tpu" and not gp.INTERPRET:
+        # CPU/GPU backends: XLA's gather is not the TPU scalar loop; the
+        # Mosaic kernel would only run in (slow) interpret mode
+        return ell, None, None, None
+    npad_t = _round_up(ell.npad, gp.T)
+    if npad_t != ell.npad:
+        ell = ELL(cols=jnp.pad(ell.cols, ((0, 0), (0, npad_t - ell.npad))),
+                  vals=jnp.pad(ell.vals, ((0, 0), (0, npad_t - ell.npad))),
+                  rownnz=jnp.pad(ell.rownnz, (0, npad_t - ell.npad)),
+                  nrows=ell.nrows, ncols=ell.ncols)
+    ntiles = npad_t // gp.T
+    cmin, cmax = gp.plan_windows_device(ell.cols, ell.rownnz, ntiles)
+    plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax), ell.ncols)
+    if plan is None:
+        return ell, None, None, None
+    base_blk, wr, nsrc_pad = plan
+    if ell.k * 2 * wr > _PLAN_UNROLL_BUDGET:
+        return ell, None, None, None
+    return ell, jnp.asarray(base_blk), wr, nsrc_pad
+
+
+def _ell_remainder_spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
+    """Remainder SpMV sliced back to the HYB's row padding."""
+    if a.wr is not None and x.dtype == jnp.float32:
+        from ..ops.gather_pallas import windowed_gather_spmv
+        ye = windowed_gather_spmv(a.ell.cols, a.ell.vals, x, a.base_blk,
+                                  a.wr, a.nsrc_pad)
+    else:
+        ye = ell_ops.spmv(a.ell, x)
+    return ye[: a.npad] if ye.shape[0] != a.npad else ye
 
 
 def spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
@@ -122,7 +181,7 @@ def spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
         for d, o in enumerate(a.offsets):
             y = y + a.dvals[d] * jnp.roll(x, -o)
     if a.ell is not None:
-        y = y + ell_ops.spmv(a.ell, x)
+        y = y + _ell_remainder_spmv(a, x)
     return y
 
 
@@ -138,7 +197,7 @@ def spmv_tri(a: HYB, x: jnp.ndarray, lower: bool) -> jnp.ndarray:
         ri = e.row_iota()
         mask = e.slot_mask() & ((e.cols < ri) if lower else (e.cols > ri))
         g = jnp.take(x, e.cols, axis=0)
-        y = y + jnp.sum(jnp.where(mask, e.vals, 0.0) * g, axis=0)
+        y = y + jnp.sum(jnp.where(mask, e.vals, 0.0) * g, axis=0)[: a.npad]
     return y
 
 
@@ -148,7 +207,7 @@ def extract_diag(a: HYB) -> jnp.ndarray:
         if o == 0:
             d = d + a.dvals[i]
     if a.ell is not None:
-        d = d + ell_ops.extract_diag(a.ell)
+        d = d + ell_ops.extract_diag(a.ell)[: a.npad]
     return d
 
 
@@ -159,7 +218,7 @@ def row_sum_abs_offdiag(a: HYB) -> jnp.ndarray:
         if o != 0:
             s = s + jnp.abs(a.dvals[i])
     if a.ell is not None:
-        s = s + ell_ops.row_sum(a.ell, absolute=True, skip_diag=True)
+        s = s + ell_ops.row_sum(a.ell, absolute=True, skip_diag=True)[: a.npad]
     return s
 
 
@@ -232,5 +291,7 @@ def hybrid_from_ell_device(a: ELL, max_diags: int = 48,
         ell = ELL(cols=jnp.where(ok, rcols[:k_rest], 0),
                   vals=jnp.where(ok, rvals[:k_rest], 0.0),
                   rownnz=rnnz, nrows=a.nrows, ncols=a.ncols)
-    return HYB(dvals=dvals, ell=ell, offsets=tuple(offsets),
-               nrows=a.nrows, ncols=a.ncols)
+    ell, base_blk, wr, nsrc_pad = _attach_gather_plan(ell)
+    return HYB(dvals=dvals, ell=ell, base_blk=base_blk,
+               offsets=tuple(offsets), nrows=a.nrows, ncols=a.ncols,
+               wr=wr, nsrc_pad=nsrc_pad)

@@ -24,7 +24,24 @@ from ..solve.hierarchy import Hierarchy
 _FORMAT_VERSION = 1
 
 
+def _strip_derived(hier: Hierarchy) -> Hierarchy:
+    """Drop derived kernel plans before flattening: the windowed-gather
+    plans (HYB base_blk / Level tplan) are rebuilt at load, keeping the
+    on-disk leaf layout stable across backends."""
+    import dataclasses
+    from ..sparse.hybrid import HYB
+    levels = []
+    for lvl in hier.levels:
+        a = lvl.a
+        if isinstance(a, HYB):
+            a = dataclasses.replace(a, base_blk=None, wr=None,
+                                    nsrc_pad=None)
+        levels.append(dataclasses.replace(lvl, a=a, tplan=None))
+    return dataclasses.replace(hier, levels=tuple(levels))
+
+
 def save_hierarchy(path: str, hier: Hierarchy) -> None:
+    hier = _strip_derived(hier)
     leaves, treedef = jax.tree_util.tree_flatten(hier)
     meta = {
         "version": _FORMAT_VERSION,
@@ -79,9 +96,12 @@ def load_hierarchy(path: str, dtype=None) -> Hierarchy:
                 cols, vals, rownnz = next_n(3)
                 ell = ELL(cols=cols, vals=vals, rownnz=rownnz,
                           nrows=lm["nrows"], ncols=lm["ncols"])
-            a = HYB(dvals=dvals, ell=ell,
+            from ..sparse.hybrid import _attach_gather_plan
+            ell, base_blk, wr, nsrc_pad = _attach_gather_plan(ell)
+            a = HYB(dvals=dvals, ell=ell, base_blk=base_blk,
                     offsets=tuple(lm["offsets"]),
-                    nrows=lm["nrows"], ncols=lm["ncols"])
+                    nrows=lm["nrows"], ncols=lm["ncols"],
+                    wr=wr, nsrc_pad=nsrc_pad)
         else:
             cols, vals, rownnz = next_n(3)
             a = ELL(cols=cols, vals=vals, rownnz=rownnz,
@@ -89,7 +109,13 @@ def load_hierarchy(path: str, dtype=None) -> Hierarchy:
         labels = next(it)
         d, lmax = next_n(2)
         sm = Smoother(d=d, lmax=lmax, **lm["smoother"])
-        levels.append(Level(a=a, labels=labels, smoother=sm,
+        from ..ops import gather_pallas as gp
+        tplan = None
+        if jax.default_backend() == "tpu" or gp.INTERPRET:
+            from ..setup.transfers import build_transfer_plan
+            tplan = build_transfer_plan(jnp.asarray(labels, jnp.int32),
+                                        lm["nc_pad"])
+        levels.append(Level(a=a, labels=labels, smoother=sm, tplan=tplan,
                             nc_pad=lm["nc_pad"]))
     ca_cols, ca_vals, ca_rownnz, lu, piv = next_n(5)
     coarse = CoarseSolve(
