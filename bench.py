@@ -124,22 +124,24 @@ def main():
     def spmv_chain(reps):
         @jax.jit
         def f():
-            def body(_, y):
+            def body(i, y):
                 out = ops.spmv(a_hyb, y)
-                return out / jnp.max(jnp.abs(out))
+                # normalize + iteration-dependent nudge so no iterate is a
+                # fixed point and nothing is loop-invariant-hoistable
+                return out / jnp.max(jnp.abs(out)) + 1e-12 * i
             return jax.lax.fori_loop(0, reps, body, x)
         return f
-    f1, f2 = spmv_chain(10), spmv_chain(60)
+    f1, f2 = spmv_chain(10), spmv_chain(210)
     float(jnp.sum(f1())); float(jnp.sum(f2()))
     ts = []
     for f in (f1, f2):
         best = 1e9
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             float(jnp.sum(f()))
             best = min(best, time.perf_counter() - t0)
         ts.append(best)
-    spmv_s = (ts[1] - ts[0]) / 50
+    spmv_s = max((ts[1] - ts[0]) / 200, 1e-9)
     nnz_per_s = a.nnz / spmv_s
     log(f"[bench] SpMV: {spmv_s*1e3:.3f} ms → {nnz_per_s/1e9:.2f} Gnnz/s")
 

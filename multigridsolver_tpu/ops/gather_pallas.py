@@ -55,25 +55,67 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(K: int, wr: int, base_ref, cols_ref, vals_ref, xlo_ref, xhi_ref,
-            o_ref):
-    t = pl.program_id(0)
+def _window_gather(xw, idx, wr):
+    """The core composed gather: (8,128) values of the (2wr,128) VMEM
+    window at local indices ``idx`` (clipped; callers mask junk)."""
+    nwin = 2 * wr * 128
+    idx = jnp.clip(idx, 0, nwin - 1)
+    lane = jax.lax.rem(idx, jnp.full_like(idx, 128))
+    sub = jax.lax.div(idx, jnp.full_like(idx, 128))
+    g = jnp.zeros((8, 128), xw.dtype)
+    for s in range(2 * wr):
+        row = jnp.broadcast_to(xw[s][None, :], (8, 128))
+        gs = jnp.take_along_axis(row, lane, axis=1)
+        g = jnp.where(sub == s, gs, g)
+    return g
+
+
+# unrolled gather+select budget per kernel body: trades Mosaic compile
+# time (~3 ms per unrolled select chain element) against the ~0.25 µs
+# fixed cost of every grid step (measured: K innermost with kb=1 tripled
+# the runtime of a K=5 SpMV purely on step overhead)
+_BODY_BUDGET = 512
+
+
+def _k_block(K: int, wr: int) -> int:
+    return max(1, min(K, _BODY_BUDGET // (2 * wr)))
+
+
+def _k_bucket(K: int) -> int:
+    """Round the slot count up to a power of two: levels with K = 5, 9,
+    13… then share Mosaic kernel binaries (compile cost is the setup
+    phase's cold-start dominator), at the price of ≤ 2x zero-padded slot
+    work."""
+    b = 1
+    while b < K:
+        b *= 2
+    return b
+
+
+def _spmv_kernel(wr: int, kb: int, base_ref, cols_ref, vals_ref, xlo_ref,
+                 xhi_ref, o_ref):
+    t, kg = pl.program_id(0), pl.program_id(1)
     base = base_ref[t] * (wr * 128)
     xw = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=0)  # (2wr, 128)
-    nwin = 2 * wr * 128
     acc = jnp.zeros((8, 128), jnp.float32)
-    for k in range(K):
-        idx = cols_ref[k] - base                     # (8, 128) local
-        idx = jnp.clip(idx, 0, nwin - 1)             # invalid slots: val=0
-        lane = jax.lax.rem(idx, jnp.full_like(idx, 128))
-        sub = jax.lax.div(idx, jnp.full_like(idx, 128))
-        g = jnp.zeros((8, 128), jnp.float32)
-        for s in range(2 * wr):
-            row = jnp.broadcast_to(xw[s][None, :], (8, 128))
-            gs = jnp.take_along_axis(row, lane, axis=1)
-            g = jnp.where(sub == s, gs, g)
-        acc = acc + vals_ref[k] * g
-    o_ref[...] = acc
+    for j in range(kb):
+        g = _window_gather(xw, cols_ref[j] - base, wr)
+        acc = acc + vals_ref[j] * g
+
+    @pl.when(kg == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    o_ref[...] += acc
+
+
+def _take_kernel(wr: int, kb: int, base_ref, cols_ref, xlo_ref, xhi_ref,
+                 o_ref):
+    t = pl.program_id(0)
+    base = base_ref[t] * (wr * 128)
+    xw = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=0)
+    for j in range(kb):
+        o_ref[j] = _window_gather(xw, cols_ref[j] - base, wr)
 
 
 @partial(jax.jit, static_argnames=("wr", "nsrc_pad"))
@@ -89,29 +131,38 @@ def windowed_gather_spmv(cols: jnp.ndarray, vals: jnp.ndarray,
     ``[base_blk[t]·wr·128, (base_blk[t]+2)·wr·128)``.
     ``nsrc_pad``: static padded source length ≥ (max base_blk + 2)·wr·128
     and a multiple of 128; x is zero-padded to it.
+
+    The grid runs K innermost with the output tile revisited, so the slot
+    count is never unrolled — Mosaic compile cost scales with the window
+    (2wr selects), not with K · 2wr.
     """
     K, npad = cols.shape
     assert npad % T == 0, npad
     ntiles = npad // T
     if x.shape[0] < nsrc_pad:
         x = jnp.pad(x, (0, nsrc_pad - x.shape[0]))
-    xp2d = x.reshape(nsrc_pad // 128, 128)
+    xp2d = x.astype(jnp.float32).reshape(nsrc_pad // 128, 128)
+    kb = _k_block(K, wr)
+    kp = _round_up(K, kb)
     cols3 = cols.reshape(K, ntiles * 8, 128)
     vals3 = vals.astype(jnp.float32).reshape(K, ntiles * 8, 128)
+    if kp != K:
+        cols3 = jnp.pad(cols3, ((0, kp - K), (0, 0), (0, 0)))
+        vals3 = jnp.pad(vals3, ((0, kp - K), (0, 0), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=(ntiles, kp // kb),
         in_specs=[
-            pl.BlockSpec((K, 8, 128), lambda t, b: (0, t, 0)),
-            pl.BlockSpec((K, 8, 128), lambda t, b: (0, t, 0)),
-            pl.BlockSpec((wr, 128), lambda t, b: (b[t], 0)),
-            pl.BlockSpec((wr, 128), lambda t, b: (b[t] + 1, 0)),
+            pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
+            pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
+            pl.BlockSpec((wr, 128), lambda t, k, b: (b[t], 0)),
+            pl.BlockSpec((wr, 128), lambda t, k, b: (b[t] + 1, 0)),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda t, b: (t, 0)),
+        out_specs=pl.BlockSpec((8, 128), lambda t, k, b: (t, 0)),
     )
     out = pl.pallas_call(
-        partial(_kernel, K, wr),
+        partial(_spmv_kernel, wr, kb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.float32),
         interpret=INTERPRET,
@@ -119,11 +170,113 @@ def windowed_gather_spmv(cols: jnp.ndarray, vals: jnp.ndarray,
     return out.reshape(npad)
 
 
-def plan_windows(cols: np.ndarray, rownnz: np.ndarray,
-                 ncols: int) -> tuple[np.ndarray, int, int] | None:
+@partial(jax.jit, static_argnames=("wr", "nsrc_pad"))
+def windowed_take(cols: jnp.ndarray, x: jnp.ndarray,
+                  base_blk: jnp.ndarray, wr: int,
+                  nsrc_pad: int) -> jnp.ndarray:
+    """out[k, i] = x[cols[k, i]] — the per-slot gather without reduction
+    (setup-phase workhorse: neighbour fields in strength/matching and the
+    Galerkin member merges are gathers of this shape).
+
+    ``x``: (nsrc,) float32 or int32 (int32 rides the same lane-gather —
+    Mosaic's dynamic_gather moves bits, not arithmetic).  Out-of-window
+    indices (e.g. the -1 sentinels) return junk — callers mask, exactly
+    as they already masked the XLA-gather results.
+    """
+    K, npad = cols.shape
+    assert npad % T == 0, npad
+    ntiles = npad // T
+    if x.shape[0] < nsrc_pad:
+        x = jnp.pad(x, (0, nsrc_pad - x.shape[0]))
+    xp2d = x.reshape(nsrc_pad // 128, 128)
+    kp = _k_bucket(K)
+    kb = _k_block(kp, wr)
+    cols3 = cols.reshape(K, ntiles * 8, 128)
+    if kp != K:
+        cols3 = jnp.pad(cols3, ((0, kp - K), (0, 0), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles, kp // kb),
+        in_specs=[
+            pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
+            pl.BlockSpec((wr, 128), lambda t, k, b: (b[t], 0)),
+            pl.BlockSpec((wr, 128), lambda t, k, b: (b[t] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_take_kernel, wr, kb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kp, ntiles * 8, 128), x.dtype),
+        interpret=INTERPRET,
+    )(base_blk, cols3, xp2d, xp2d)
+    return out.reshape(kp, npad)[:K]
+
+
+def _take_rows_kernel(wr: int, kb: int, base_ref, idx_ref, xlo_ref,
+                      xhi_ref, o_ref):
+    t = pl.program_id(0)
+    base = base_ref[t] * (wr * 128)
+    idx = idx_ref[0] - base
+    for j in range(kb):
+        xw = jnp.concatenate([xlo_ref[j], xhi_ref[j]], axis=0)
+        o_ref[j] = _window_gather(xw, idx, wr)
+
+
+@partial(jax.jit, static_argnames=("wr", "nsrc_pad"))
+def windowed_take_rows(idx: jnp.ndarray, xs: jnp.ndarray,
+                       base_blk: jnp.ndarray, wr: int,
+                       nsrc_pad: int) -> jnp.ndarray:
+    """out[s, i] = xs[s, idx[i]] — one index vector gathering from S
+    parallel source rows (the Galerkin member merge: fetch each aggregate
+    member's whole relabelled slot row at once).
+
+    ``idx``: (npad,) int32, npad % 1024 == 0; ``xs``: (S, nsrc) f32/int32;
+    window plan over the *idx* values.  Out-of-window indices return junk
+    (callers mask).
+    """
+    npad = idx.shape[0]
+    S, nsrc = xs.shape
+    assert npad % T == 0, npad
+    ntiles = npad // T
+    if nsrc < nsrc_pad:
+        xs = jnp.pad(xs, ((0, 0), (0, nsrc_pad - nsrc)))
+    xs3 = xs.reshape(S, nsrc_pad // 128, 128)
+    idx3 = idx.reshape(1, ntiles * 8, 128)
+    sp = _k_bucket(S)
+    kb = _k_block(sp, wr)
+    if sp != S:
+        xs3 = jnp.pad(xs3, ((0, sp - S), (0, 0), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles, sp // kb),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda t, k, b: (0, t, 0)),
+            pl.BlockSpec((kb, wr, 128), lambda t, k, b: (k, b[t], 0)),
+            pl.BlockSpec((kb, wr, 128), lambda t, k, b: (k, b[t] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_take_rows_kernel, wr, kb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sp, ntiles * 8, 128), xs.dtype),
+        interpret=INTERPRET,
+    )(base_blk, idx3, xs3, xs3)
+    return out.reshape(sp, npad)[:S]
+
+
+def plan_windows(cols: np.ndarray, rownnz: np.ndarray, ncols: int,
+                 include_identity: bool = False
+                 ) -> tuple[np.ndarray, int, int] | None:
     """Pick per-tile window bases and the window half-size ``wr``.
 
     ``cols``: (K, npad) host array (npad % 1024 == 0); ``rownnz``: (npad,).
+    ``include_identity`` additionally covers each tile's own row range —
+    needed when callers gather at indices like "my own row" or "my
+    proposed partner" that may not be stored columns.
     Returns (base_blk int32 (ntiles,), wr, nsrc_pad), or None when some
     tile's column spread exceeds the largest supported window (the caller
     falls back to the XLA gather).
@@ -138,19 +291,16 @@ def plan_windows(cols: np.ndarray, rownnz: np.ndarray,
     empty = cmax < 0
     cmin = np.where(empty, 0, cmin)
     cmax = np.where(empty, 0, cmax)
-    for wr in _WRS:
-        w = wr * 128
-        base = cmin // w
-        if np.all(cmax < (base + 2) * w):
-            nsrc_pad = _round_up(
-                max(int((base.max() + 2) * w), ncols, 128), 128)
-            return base.astype(np.int32), wr, int(nsrc_pad)
-    return None
+    if include_identity:
+        tstart = np.arange(ntiles) * T
+        cmin = np.minimum(cmin, tstart)
+        cmax = np.maximum(cmax, tstart + T - 1)
+    return plan_from_minmax(cmin, cmax, ncols)
 
 
-@partial(jax.jit, static_argnames=("ntiles",))
+@partial(jax.jit, static_argnames=("ntiles", "include_identity"))
 def plan_windows_device(cols: jnp.ndarray, rownnz: jnp.ndarray,
-                        ntiles: int):
+                        ntiles: int, include_identity: bool = False):
     """Device-side (jittable) per-tile min/max column — used when the ELL
     lives on device and a host round-trip of the full cols array would
     cost more than the solve.  Returns (cmin, cmax) of shape (ntiles,);
@@ -163,7 +313,13 @@ def plan_windows_device(cols: jnp.ndarray, rownnz: jnp.ndarray,
     cmin = big.reshape(K, ntiles, T).min(axis=(0, 2))
     cmax = small.reshape(K, ntiles, T).max(axis=(0, 2))
     empty = cmax < 0
-    return jnp.where(empty, 0, cmin), jnp.where(empty, 0, cmax)
+    cmin = jnp.where(empty, 0, cmin)
+    cmax = jnp.where(empty, 0, cmax)
+    if include_identity:
+        tstart = jnp.arange(ntiles, dtype=jnp.int32) * T
+        cmin = jnp.minimum(cmin, tstart)
+        cmax = jnp.maximum(cmax, tstart + T - 1)
+    return cmin, cmax
 
 
 def plan_from_minmax(cmin: np.ndarray, cmax: np.ndarray,

@@ -34,7 +34,7 @@ from ..utils.timing import PhaseTimer
 from .strength import compute_strength
 from .matching import (mutual_match, labels_from_pairs, greedy_match_host,
                        cmk_order_host)
-from .galerkin import galerkin_ell, galerkin_pair_ell
+from .galerkin import galerkin_ell, galerkin_pair_ell, member_window_minmax
 from .prolongation import compose_labels
 
 
@@ -63,8 +63,32 @@ def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
                           trspos=trspos, fracnegrcsum=fracnegrcsum,
                           symmetric=symmetric, mu_mode=mu_mode)
     paired = mutual_match(a, st, max_rounds=max_rounds)
-    labels, nc = labels_from_pairs(paired, st.excluded)
-    return paired, labels, nc
+    labels, nc = labels_from_pairs(paired, st.excluded, a=a)
+    # pack nc together with the members-plan min/max so the host learns
+    # everything it needs from ONE readback (~35 ms per tunnel sync)
+    mem_cmin, mem_cmax = member_window_minmax(labels)
+    packed = jnp.concatenate([nc[None].astype(jnp.int32),
+                              mem_cmin, mem_cmax])
+    return paired, labels, packed
+
+
+def _unpack_match(a: ELL, packed_np: np.ndarray):
+    """Host tail of _match_pass: nc + the members window plan."""
+    from ..sparse.formats import plans_enabled
+    from ..ops import gather_pallas as gp
+    nc = int(packed_np[0])
+    m_plan = None
+    ntiles_m = (packed_np.shape[0] - 1) // 2
+    if ntiles_m and nc > 0 and plans_enabled():
+        nc_pad = ((nc + 1023) // 1024) * 1024
+        ntc = nc_pad // 1024
+        plan = gp.plan_from_minmax(packed_np[1:1 + ntc],
+                                   packed_np[1 + ntiles_m:1 + ntiles_m + ntc],
+                                   a.npad)
+        if plan is not None:
+            base, wr, nsrc = plan
+            m_plan = (jnp.asarray(base), wr, nsrc)
+    return nc, m_plan
 
 
 def paired_from_labels_host(labels_np: "np.ndarray") -> "np.ndarray":
@@ -126,21 +150,22 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
             labels, nc = _greedy_pass(mat, first, cfg)
             paired = jnp.asarray(
                 paired_from_labels_host(np.asarray(labels)), jnp.int32)
-            return paired, labels, nc
-        paired, labels, nc = _match_pass(mat, first, float(cfg.ktg),
-                                         float(cfg.checkdd),
-                                         float(cfg.trspos),
-                                         float(cfg.fracnegrcsum),
-                                         int(cfg.max_matching_rounds),
-                                         bool(cfg.symmetric),
-                                         str(cfg.mu_mode))
-        return paired, labels, int(nc)
+            return paired, labels, nc, None
+        paired, labels, packed = _match_pass(mat, first, float(cfg.ktg),
+                                             float(cfg.checkdd),
+                                             float(cfg.trspos),
+                                             float(cfg.fracnegrcsum),
+                                             int(cfg.max_matching_rounds),
+                                             bool(cfg.symmetric),
+                                             str(cfg.mu_mode))
+        nc, m_plan = _unpack_match(mat, np.asarray(packed))
+        return paired, labels, nc, m_plan
 
     with timer.phase("aggregation.pass1"):
-        paired, labels, nc = run_pass(a, True)
+        paired, labels, nc, m_plan = run_pass(a, True)
     cum_labels = labels
     with timer.phase("aggregation.galerkin1"):
-        ac, nnz_c = galerkin_pair_ell(a, paired, labels, nc)
+        ac, nnz_c = galerkin_pair_ell(a, paired, labels, nc, m_plan=m_plan)
     passes.append(PassInfo(nc=nc, nnz=nnz_c))
 
     for s in range(2, cfg.npass + 1):
@@ -149,10 +174,11 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         if cfg.max_restriction and ac.nrows < cfg.max_restriction:
             break
         with timer.phase(f"aggregation.pass{s}"):
-            paired, pass_labels, nc = run_pass(ac, False)
+            paired, pass_labels, nc, m_plan = run_pass(ac, False)
         cum_labels = compose_labels(cum_labels, pass_labels)
         with timer.phase(f"aggregation.galerkin{s}"):
-            ac, nnz_c = galerkin_pair_ell(ac, paired, pass_labels, nc)
+            ac, nnz_c = galerkin_pair_ell(ac, paired, pass_labels, nc,
+                                          m_plan=m_plan)
         passes.append(PassInfo(nc=nc, nnz=nnz_c))
 
     return AggregationResult(labels=cum_labels, nc=nc, coarse=ac,

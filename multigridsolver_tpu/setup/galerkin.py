@@ -111,7 +111,7 @@ def galerkin_ell_arrays(a: ELL, labels: jnp.ndarray, nc: int, kc: int):
 
 
 def galerkin_ell(a: ELL, labels: jnp.ndarray, nc_true: int,
-                 kc: int | None = None, row_pad: int = 8) -> ELL:
+                 kc: int | None = None, row_pad: int = 1024) -> ELL:
     """Host driver: build the coarse ELL, growing ``kc`` if the bound was
     exceeded.  ``nc_true`` is the host-known number of aggregates."""
     nc_pad = max(((nc_true + row_pad - 1) // row_pad) * row_pad, row_pad)
@@ -132,11 +132,14 @@ def galerkin_ell(a: ELL, labels: jnp.ndarray, nc_true: int,
         cols = cols[:kc_eff]
         vals = vals[:kc_eff]
         rownnz = jnp.minimum(rownnz, kc_eff)
-    return ELL(cols=cols, vals=vals, rownnz=rownnz.astype(jnp.int32),
-               nrows=nc_true, ncols=nc_true)
+    from ..sparse.formats import with_device_plan
+    return with_device_plan(
+        ELL(cols=cols, vals=vals, rownnz=rownnz.astype(jnp.int32),
+            nrows=nc_true, ncols=nc_true))
 
 def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
-                         nc: int):
+                         nc: int, m_base=None, m_wr: int | None = None,
+                         m_nsrc: int | None = None):
     """Pairwise-structured Galerkin: merge each aggregate's ≤ 2 member rows.
 
     After a *pairwise* pass every aggregate has at most two members (leader
@@ -147,9 +150,17 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     seconds of Mosaic compile time and O(nnz log nnz) runtime in the
     general path above.
 
-    ``nc`` is the padded coarse size.  Returns (cols, vals, rownnz, info)
-    with slot width 2K; the host compacts to the true max degree.
+    ``nc`` is the padded coarse size.  ``m_base``/``m_wr``/``m_nsrc`` is
+    the members window plan (per-coarse-tile min/max fine member index,
+    produced by ``member_window_minmax`` inside the matching pass) routing
+    the member-row fetches through the Pallas kernel; None → XLA gathers.
+
+    Returns (cols, vals, rownnz, info) with slot width 2K; info packs
+    [nnz_c, max_degree, out_cmin…, out_cmax…] — the coarse operator's own
+    window-plan min/max per 1024-tile, so the host attaches the next
+    pass's gather plan from the same single readback.
     """
+    from ..sparse import ops as ell_ops
     k = a.k
     npad = a.npad
     # leader of each aggregate: the smaller member index (matching's
@@ -166,19 +177,29 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
         jnp.where(is_leader, nodes, -1))
     real = leader_of >= 0
     safe_leader = jnp.maximum(leader_of, 0)
-    partner_of = jnp.take(paired, safe_leader, axis=0)
-    partner_of = jnp.where(partner_of >= 0, partner_of, safe_leader)
+    partner_of = ell_ops.take_member_rows(
+        a, safe_leader, paired[None, :], m_base, m_wr, m_nsrc)[0]
+    partner_of = jnp.where(real & (partner_of >= 0), partner_of,
+                           safe_leader)
     has_partner = real & (partner_of != safe_leader)
 
+    # relabel the slot columns once on the fine side (rides a's own plan),
+    # then fetch whole relabelled member rows via the members plan
+    lc_fine = ell_ops.take_neighbor(a, jnp.where(active, labels, -1))
+    vals_f32 = a.vals.astype(jnp.float32) if m_wr is not None else a.vals
+
     def member_rows(members):
-        cols_m = jnp.take(a.cols, members, axis=1)       # (K, nc)
-        vals_m = jnp.take(a.vals, members, axis=1)
-        nnz_m = jnp.take(a.rownnz, members, axis=0)      # (nc,)
+        cols_m = ell_ops.take_member_rows(a, members, lc_fine,
+                                          m_base, m_wr, m_nsrc)   # (K, nc)
+        vals_m = ell_ops.take_member_rows(a, members, vals_f32,
+                                          m_base, m_wr, m_nsrc)
+        nnz_m = ell_ops.take_member_rows(a, members, a.rownnz[None, :],
+                                         m_base, m_wr, m_nsrc)[0]  # (nc,)
         sl = jax.lax.broadcasted_iota(jnp.int32, cols_m.shape, 0)
         ok = (sl < nnz_m[None, :]) & real[None, :]
-        lc = jnp.take(labels, cols_m, axis=0)            # coarse col labels
-        ok = ok & (lc >= 0)
-        return jnp.where(ok, lc, nc), jnp.where(ok, vals_m, 0.0)
+        ok = ok & (cols_m >= 0)        # excluded / junk columns dropped
+        return (jnp.where(ok, cols_m, nc),
+                jnp.where(ok, vals_m.astype(a.vals.dtype), 0.0))
 
     c1, v1 = member_rows(safe_leader)
     c2, v2 = member_rows(partner_of)
@@ -208,24 +229,78 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     safe_pos = jnp.where(keep, pos, m2 - 1)
     out_c = out_c.at[safe_pos, ci].add(jnp.where(keep, cand_c, 0))
     out_v = out_v.at[safe_pos, ci].add(jnp.where(keep, merged, 0.0))
-    info = jnp.stack([jnp.sum(rownnz), jnp.max(rownnz)]).astype(jnp.int32)
+    head = jnp.stack([jnp.sum(rownnz), jnp.max(rownnz)]).astype(jnp.int32)
+    # the coarse operator's own window-plan min/max per 1024-row tile
+    # (identity-covered), packed into the same readback
+    if nc % 1024 == 0:
+        ntc = nc // 1024
+        sl2 = jax.lax.broadcasted_iota(jnp.int32, out_c.shape, 0)
+        ok2 = sl2 < rownnz[None, :]
+        big = jnp.where(ok2, out_c, jnp.iinfo(jnp.int32).max)
+        small = jnp.where(ok2, out_c, -1)
+        ocmin = big.reshape(m2, ntc, 1024).min(axis=(0, 2))
+        ocmax = small.reshape(m2, ntc, 1024).max(axis=(0, 2))
+        tstart = jnp.arange(ntc, dtype=jnp.int32) * 1024
+        ocmin = jnp.minimum(jnp.where(ocmax < 0, nc, ocmin), tstart)
+        ocmax = jnp.maximum(jnp.where(ocmax < 0, 0, ocmax),
+                            tstart + 1023)
+        info = jnp.concatenate([head, ocmin, ocmax])
+    else:
+        info = head
     return out_c, out_v, rownnz, info
 
 
+def member_window_minmax(labels: jnp.ndarray):
+    """Per-coarse-1024-tile min/max *fine member index* — the members
+    window plan input for the next Galerkin (run inside the matching pass
+    so it shares that pass's readback).  Uses the fine tile count as the
+    bound on coarse tiles; empty tiles report (0, 0)."""
+    npad = labels.shape[0]
+    if npad % 1024 != 0:
+        z = jnp.zeros((0,), jnp.int32)
+        return z, z
+    ntiles = npad // 1024
+    nodes = jnp.arange(npad, dtype=jnp.int32)
+    tile = jnp.where(labels >= 0, labels // 1024, ntiles)
+    cmin = jnp.full((ntiles + 1,), jnp.iinfo(jnp.int32).max,
+                    jnp.int32).at[tile].min(nodes)
+    cmax = jnp.full((ntiles + 1,), -1, jnp.int32).at[tile].max(nodes)
+    empty = cmax[:ntiles] < 0
+    return (jnp.where(empty, 0, cmin[:ntiles]),
+            jnp.where(empty, 0, cmax[:ntiles]))
+
+
 def galerkin_pair_ell(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
-                      nc_true: int, row_pad: int = 8) -> tuple[ELL, int]:
+                      nc_true: int, row_pad: int = 1024,
+                      m_plan=None) -> tuple[ELL, int]:
     """Host driver for the pairwise-merge Galerkin path.
 
-    Returns (coarse ELL, nnz_c).  One scalar readback total (nnz and max
-    degree fetched together — host↔device round-trips through the TPU
-    tunnel cost ~30 ms each and dominate naive setup loops)."""
+    Returns (coarse ELL, nnz_c).  One readback total: nnz, max degree and
+    the coarse operator's gather-plan min/max all ride one packed info
+    vector (host↔device round-trips through the TPU tunnel cost ~35 ms
+    each and dominate naive setup loops).  ``m_plan`` is the members
+    window plan (base_blk, wr, nsrc) from the matching pass."""
+    from ..sparse.formats import plans_enabled
+    from ..ops import gather_pallas as gp
     nc_pad = max(((nc_true + row_pad - 1) // row_pad) * row_pad, row_pad)
+    m_base, m_wr, m_nsrc = m_plan if m_plan is not None else (None, None,
+                                                             None)
     cols, vals, rownnz, info = jax.jit(
-        galerkin_pair_arrays, static_argnums=(3,))(a, paired, labels, nc_pad)
+        galerkin_pair_arrays, static_argnums=(3, 5, 6))(
+        a, paired, labels, nc_pad, m_base, m_wr, m_nsrc)
     info_np = np.asarray(info)
     nnz_c = int(info_np[0])
     kc_eff = max(int(info_np[1]), 1)
     ell = ELL(cols=cols[:kc_eff], vals=vals[:kc_eff],
               rownnz=jnp.minimum(rownnz, kc_eff).astype(jnp.int32),
               nrows=nc_true, ncols=nc_true)
+    if info_np.shape[0] > 2 and plans_enabled():
+        ntc = (info_np.shape[0] - 2) // 2
+        plan = gp.plan_from_minmax(info_np[2:2 + ntc],
+                                   info_np[2 + ntc:], nc_true)
+        if plan is not None:
+            import dataclasses
+            base, wr, nsrc = plan
+            ell = dataclasses.replace(ell, base_blk=jnp.asarray(base),
+                                      wr=wr, nsrc=nsrc)
     return ell, nnz_c

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sparse.formats import ELL
+from ..sparse import ops
 from .strength import StrengthData
 
 
@@ -48,7 +49,7 @@ def _best_neighbor(a: ELL, mu: jnp.ndarray, allowed: jnp.ndarray,
     Returns (npad,) int32: proposed partner or -1.
     """
     ri = a.row_iota()
-    cand = allowed & jnp.take(available, a.cols, axis=0) \
+    cand = allowed & ops.take_neighbor(a, available) \
                    & available[None, :]
     inf = jnp.asarray(jnp.inf, mu.dtype)
     mu_c = jnp.where(cand, mu, inf)
@@ -111,8 +112,10 @@ def mutual_match(a: ELL, strength: StrengthData,
     def body(st):
         prop = _best_neighbor(a, strength.mu, strength.allowed,
                               st["avail"])
-        # mutual acceptance
-        prop_of_prop = jnp.take(prop, jnp.maximum(prop, 0), axis=0)
+        # mutual acceptance.  prop values are stored columns (or -1 → 0),
+        # both covered by a's window plan (identity included)
+        prop_of_prop = ops.take_neighbor(a, prop,
+                                         idx=jnp.maximum(prop, 0))
         mutual = (prop >= 0) & (prop_of_prop == nodes)
         paired = jnp.where(mutual & st["avail"], prop, st["paired"])
         avail = st["avail"] & ~mutual
@@ -136,7 +139,8 @@ def mutual_match(a: ELL, strength: StrengthData,
     return jnp.where(strength.excluded, -1, paired)
 
 
-def labels_from_pairs(paired: jnp.ndarray, excluded: jnp.ndarray
+def labels_from_pairs(paired: jnp.ndarray, excluded: jnp.ndarray,
+                      a: ELL | None = None
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Number aggregates and label nodes.
 
@@ -155,8 +159,11 @@ def labels_from_pairs(paired: jnp.ndarray, excluded: jnp.ndarray
     agg_of_leader = jnp.cumsum(leader.astype(jnp.int32)) - 1
     # follower takes its partner's (the leader's) aggregate id
     partner = jnp.maximum(paired, 0)
-    labels = jnp.where(leader, agg_of_leader,
-                       jnp.take(agg_of_leader, partner, axis=0))
+    if a is not None:
+        agg_of_partner = ops.take_neighbor(a, agg_of_leader, idx=partner)
+    else:
+        agg_of_partner = jnp.take(agg_of_leader, partner, axis=0)
+    labels = jnp.where(leader, agg_of_leader, agg_of_partner)
     labels = jnp.where(active, labels, -1).astype(jnp.int32)
     nc = jnp.sum(leader.astype(jnp.int32))
     return labels, nc

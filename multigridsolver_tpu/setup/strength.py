@@ -72,9 +72,9 @@ def mu_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
     plain broadcasts (the row index is the minor axis); only the j side
     needs a gather."""
     aii = diag[None, :]
-    ajj = jnp.take(diag, a.cols, axis=0)
+    ajj = ops.take_neighbor(a, diag)
     s_i = si[None, :]
-    s_j = jnp.take(si, a.cols, axis=0)
+    s_j = ops.take_neighbor(a, si)
     aij = a.vals
     aji = vals_t
     num = 2.0 / (1.0 / aii + 1.0 / ajj)
@@ -99,9 +99,9 @@ def mu_slots_notay(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
                            if a.vals.dtype == jnp.float32
                            else np.finfo(np.float64).eps, a.vals.dtype)
     aii = diag[None, :]
-    ajj = jnp.take(diag, a.cols, axis=0)
+    ajj = ops.take_neighbor(a, diag)
     s_i = si[None, :]
-    s_j = jnp.take(si, a.cols, axis=0)
+    s_j = ops.take_neighbor(a, si)
     vals = -(a.vals + vals_t) / 2.0
     rsi = jnp.where(zerors, 0.0, -s_i + aii)
     rsj = jnp.where(zerors, 0.0, -s_j + ajj)
@@ -150,9 +150,9 @@ def _rel_eps(dtype) -> float:
 def feasible_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray) -> jnp.ndarray:
     """aᵢᵢ − sᵢ + aⱼⱼ − sⱼ ≥ 0 per slot (``AGMG.cpp:159``,
     ``Aggregation.cu:157-159``), with a repsmach-style relative guard."""
-    ajj = jnp.take(diag, a.cols, axis=0)
+    ajj = ops.take_neighbor(a, diag)
     lhs = (diag[None, :] - si[None, :]
-           + ajj - jnp.take(si, a.cols, axis=0))
+           + ajj - ops.take_neighbor(a, si))
     tol = _rel_eps(diag.dtype) * (jnp.abs(diag)[None, :] + jnp.abs(ajj))
     return lhs >= -tol
 
@@ -208,7 +208,7 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
     # stored-but-zero entries are not graph edges when the symmetrised
     # coupling vanishes; the reference checks A(i,j) != 0 (AGMG.cpp:155)
     edge = nondiag & ((a.vals != 0.0) | (vals_t != 0.0))
-    not_excl = ~excl[None, :] & ~jnp.take(excl, a.cols, axis=0)
+    not_excl = ~excl[None, :] & ~ops.take_neighbor(a, excl)
     if mu_mode == "notay":
         mu, ok = mu_slots_notay(a, diag, si, vals_t, zerors)
         allowed = edge & ok & (mu >= 0.0) & (mu <= ktg) & not_excl

@@ -47,6 +47,47 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def plans_enabled() -> bool:
+    """Windowed-gather plans are attached on the TPU backend (or under the
+    Pallas interpreter for tests); other backends keep XLA gathers."""
+    from ..ops import gather_pallas as gp
+    return gp.INTERPRET or jax.default_backend() == "tpu"
+
+
+def with_host_plan(ell: "ELL", cols_np: np.ndarray,
+                   rownnz_np: np.ndarray) -> "ELL":
+    """Attach a windowed-gather plan computed from host-side arrays (used
+    at .mtx / CSR ingestion, before the device transfer)."""
+    if ell.npad % 1024 != 0 or not plans_enabled():
+        return ell
+    from ..ops import gather_pallas as gp
+    plan = gp.plan_windows(np.asarray(cols_np), np.asarray(rownnz_np),
+                           ell.ncols, include_identity=True)
+    if plan is None:
+        return ell
+    base, wr, nsrc = plan
+    return dataclasses.replace(ell, base_blk=jnp.asarray(base), wr=wr,
+                               nsrc=nsrc)
+
+
+def with_device_plan(ell: "ELL") -> "ELL":
+    """Attach a windowed-gather plan from the device arrays (one tiny
+    min/max readback; used where the ELL is born on device)."""
+    if ell.npad % 1024 != 0 or not plans_enabled():
+        return ell
+    from ..ops import gather_pallas as gp
+    ntiles = ell.npad // 1024
+    cmin, cmax = gp.plan_windows_device(ell.cols, ell.rownnz, ntiles,
+                                        include_identity=True)
+    plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax),
+                               ell.ncols)
+    if plan is None:
+        return ell
+    base, wr, nsrc = plan
+    return dataclasses.replace(ell, base_blk=jnp.asarray(base), wr=wr,
+                               nsrc=nsrc)
+
+
 @dataclass
 class COO:
     """Host-side coordinate format (0-based)."""
@@ -135,12 +176,15 @@ class CSR:
                    indices=m.indices.astype(np.int64),
                    data=np.asarray(m.data), shape=m.shape)
 
-    def to_ell(self, k: int | None = None, row_pad: int = 8,
+    def to_ell(self, k: int | None = None, row_pad: int = 1024,
                dtype=jnp.float32) -> "ELL":
         """Pack into the padded ELL device format.
 
         ``k`` defaults to the max row degree; rows are padded to a multiple
-        of ``row_pad`` (TPU sublane size) so all device shapes stay aligned.
+        of ``row_pad`` so all device shapes stay aligned.  The default 1024
+        (8 sublanes × 128 lanes, one f32 vreg) makes every ELL eligible for
+        the windowed-gather kernel, whose plan is attached here when the
+        column pattern admits one (TPU backend only).
         """
         n, m = self.shape
         counts = self.rownnz()
@@ -160,13 +204,14 @@ class CSR:
         vals[slot, rows] = self.data
         rownnz = np.zeros((n_pad,), dtype=np.int32)
         rownnz[:n] = counts
-        return ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals, dtype=dtype),
-                   rownnz=jnp.asarray(rownnz), nrows=n, ncols=m)
+        ell = ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals, dtype=dtype),
+                  rownnz=jnp.asarray(rownnz), nrows=n, ncols=m)
+        return with_host_plan(ell, cols, rownnz)
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["cols", "vals", "rownnz"],
-         meta_fields=["nrows", "ncols"])
+         data_fields=["cols", "vals", "rownnz", "base_blk"],
+         meta_fields=["nrows", "ncols", "wr", "nsrc"])
 @dataclass
 class ELL:
     """Device-resident padded ELL sparse matrix (JAX pytree), slot-major.
@@ -176,6 +221,13 @@ class ELL:
     ``s`` of row ``i`` is valid iff ``s < rownnz[i]``.  Invalid slots hold
     ``col=0, val=0`` so SpMV needs no masking.  ``nrows``/``ncols`` are the
     *logical* (unpadded) dimensions and are static metadata.
+
+    ``base_blk``/``wr``/``nsrc`` (optional) hold a windowed-gather plan
+    over the column pattern (ops/gather_pallas.py): per-1024-row-tile
+    window bases covering every stored column *and* the tile's own row
+    range.  When present, every neighbour-field gather in SpMV, strength,
+    matching and Galerkin rides the Pallas kernel (~0.09 ns/element)
+    instead of the XLA scalar-loop gather (~7 ns/element on v5e).
     """
 
     cols: jnp.ndarray    # (K, n_pad) int32
@@ -183,6 +235,13 @@ class ELL:
     rownnz: jnp.ndarray  # (n_pad,) int32
     nrows: int
     ncols: int
+    base_blk: jnp.ndarray | None = None
+    wr: int | None = None
+    nsrc: int | None = None
+
+    @property
+    def has_plan(self) -> bool:
+        return self.base_blk is not None
 
     @property
     def k(self) -> int:

@@ -21,6 +21,50 @@ import jax.numpy as jnp
 from .formats import ELL
 
 
+def take_neighbor(a: ELL, x: jnp.ndarray,
+                  idx: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Gather the per-neighbour field ``x[idx]`` (idx defaults to
+    ``a.cols``) — THE hot access pattern of strength/matching/Galerkin.
+
+    With a window plan on ``a`` this rides the Pallas windowed-gather
+    kernel; the plan covers every stored column plus each tile's own row
+    range, so any index drawn from {stored cols} ∪ {own rows} (partner
+    proposals, pair indices, leaders) is in-window.  Out-of-window junk
+    (e.g. -1 sentinels clamped to 0) must be masked by the caller exactly
+    as it already masks the XLA-gather result for sentinel indices.
+
+    ``x``: (m,) f32 / int32 / bool (bool goes through int32 bits).
+    """
+    if idx is None:
+        idx = a.cols
+    if a.base_blk is None:
+        return jnp.take(x, idx, axis=0)
+    from ..ops.gather_pallas import windowed_take
+    one_d = idx.ndim == 1
+    if one_d:
+        idx = idx[None, :]
+    if x.dtype == jnp.bool_:
+        out = windowed_take(idx, x.astype(jnp.int32), a.base_blk, a.wr,
+                            a.nsrc) != 0
+    elif x.dtype in (jnp.float32, jnp.int32):
+        out = windowed_take(idx, x, a.base_blk, a.wr, a.nsrc)
+    else:   # f64 etc (host-parity paths): keep the XLA gather
+        return jnp.take(x, idx[0] if one_d else idx, axis=0)
+    return out[0] if one_d else out
+
+
+def take_member_rows(a: ELL, members: jnp.ndarray, xs: jnp.ndarray,
+                     base_blk, wr: int | None, nsrc: int | None
+                     ) -> jnp.ndarray:
+    """out[s, c] = xs[s, members[c]] — fetch whole slot rows at member
+    indices (Galerkin pair merge).  ``base_blk``/``wr``/``nsrc`` is the
+    members window plan (None → XLA gather fallback)."""
+    if wr is None:
+        return jnp.take(xs, members, axis=1)
+    from ..ops.gather_pallas import windowed_take_rows
+    return windowed_take_rows(members, xs, base_blk, wr, nsrc)
+
+
 def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x.  ``x``: (ncols_padded,) — padded slots must be 0-safe.
 
@@ -31,6 +75,10 @@ def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
     if hasattr(a, "offsets"):
         from . import hybrid
         return hybrid.spmv(a, x)
+    if a.base_blk is not None and x.dtype == jnp.float32:
+        from ..ops.gather_pallas import windowed_gather_spmv
+        return windowed_gather_spmv(a.cols, a.vals, x, a.base_blk, a.wr,
+                                    a.nsrc)
     gathered = jnp.take(x, a.cols, axis=0)          # (K, n_pad)
     return jnp.sum(a.vals * gathered, axis=0)
 
@@ -83,7 +131,7 @@ def _transposed_lookup(a: ELL, reduce_vals: bool):
     """
     ri = a.row_iota()
     j = a.cols                                       # (K, n)
-    nnz_j = jnp.take(a.rownnz, j, axis=0)            # (K, n)
+    nnz_j = take_neighbor(a, a.rownnz)               # (K, n)
     if reduce_vals:
         init = jnp.zeros(j.shape, a.vals.dtype)
     else:
@@ -91,11 +139,11 @@ def _transposed_lookup(a: ELL, reduce_vals: bool):
 
     def body(s2, acc):
         cols_row = jnp.take(a.cols, s2, axis=0)      # (n,)
-        cols_j = jnp.take(cols_row, j, axis=0)       # (K, n)
+        cols_j = take_neighbor(a, cols_row)          # (K, n)
         hit = (cols_j == ri) & (s2 < nnz_j)
         if reduce_vals:
             vals_row = jnp.take(a.vals, s2, axis=0)
-            vals_j = jnp.take(vals_row, j, axis=0)
+            vals_j = take_neighbor(a, vals_row)
             return acc + jnp.where(hit, vals_j, 0.0)
         return acc | hit
 
@@ -130,16 +178,16 @@ def transpose_slot_field(a: ELL, field: jnp.ndarray
     """
     ri = a.row_iota()
     j = a.cols
-    nnz_j = jnp.take(a.rownnz, j, axis=0)
+    nnz_j = take_neighbor(a, a.rownnz)
     init = (jnp.zeros(j.shape, field.dtype), jnp.zeros(j.shape, bool))
 
     def body(s2, carry):
         acc, has = carry
         cols_row = jnp.take(a.cols, s2, axis=0)
-        cols_j = jnp.take(cols_row, j, axis=0)
+        cols_j = take_neighbor(a, cols_row)
         hit = (cols_j == ri) & (s2 < nnz_j)
         f_row = jnp.take(field, s2, axis=0)
-        f_j = jnp.take(f_row, j, axis=0)
+        f_j = take_neighbor(a, f_row)
         return acc + jnp.where(hit, f_j, 0), has | hit
 
     acc, has = jax.lax.fori_loop(0, a.k, body, init)

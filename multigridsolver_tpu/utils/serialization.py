@@ -29,15 +29,24 @@ def _strip_derived(hier: Hierarchy) -> Hierarchy:
     plans (HYB base_blk / Level tplan) are rebuilt at load, keeping the
     on-disk leaf layout stable across backends."""
     import dataclasses
+    from ..sparse.formats import ELL
     from ..sparse.hybrid import HYB
+
+    def strip_ell(e):
+        return dataclasses.replace(e, base_blk=None, wr=None, nsrc=None) \
+            if isinstance(e, ELL) else e
+
     levels = []
     for lvl in hier.levels:
         a = lvl.a
         if isinstance(a, HYB):
-            a = dataclasses.replace(a, base_blk=None, wr=None,
-                                    nsrc_pad=None)
+            a = dataclasses.replace(a, ell=strip_ell(a.ell), base_blk=None,
+                                    wr=None, nsrc_pad=None)
+        else:
+            a = strip_ell(a)
         levels.append(dataclasses.replace(lvl, a=a, tplan=None))
-    return dataclasses.replace(hier, levels=tuple(levels))
+    coarse = dataclasses.replace(hier.coarse, a=strip_ell(hier.coarse.a))
+    return dataclasses.replace(hier, levels=tuple(levels), coarse=coarse)
 
 
 def save_hierarchy(path: str, hier: Hierarchy) -> None:
