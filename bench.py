@@ -68,13 +68,13 @@ def main():
     jax.block_until_ready(ell.vals)
     log(f"[bench] H2D + pack ELL: {time.perf_counter()-t0:.2f}s")
 
-    # npass=4 halves the level count twice vs the reference's npass=2 at
-    # modestly higher K-cycle iteration counts — fewer, smaller coarse
-    # levels are the right trade on TPU where coarse-level work is
-    # gather-bound (empirical sweep: npass=4/deg=2/depth=2 is fastest)
+    # round 1 used npass=4 because coarse-level work was gather-bound; the
+    # windowed-gather kernel removed that, and the round-2 sweep puts the
+    # reference's own npass=2/tou=8 config ahead: 7 BiCGStab iterations
+    # (vs 12 with npass=4) at equal setup time
     cfg = HierarchyConfig(
         max_coarse_size=512,
-        aggregation=AggregationConfig(ktg=10.0, npass=4, tou=16.0,
+        aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0,
                                       symmetric=True))
 
     # --- setup phase (aggregation) ---
@@ -95,7 +95,7 @@ def main():
     hier = build_hierarchy(setup.matrices[0], setup.level_labels,
                            setup.matrices[1:], smoother_kind="chebyshev",
                            cycle="kcycle", pre_smooth=1, post_smooth=1,
-                           degree=3, kcycle_depth=2)
+                           degree=3, kcycle_depth=3)
     jax.block_until_ready(hier.coarse.lu)
     hier_s = time.perf_counter() - t0
     log(f"[bench] hierarchy build: {hier_s:.3f}s")

@@ -47,7 +47,8 @@ def cmd_setup(args):
     print_info("matrix", f"{a.nrows}x{a.ncols}, nnz={a.nnz}")
     ell = a.to_ell(dtype=jnp.float32 if args.f32 else jnp.float64)
     cfg = AggregationConfig(ktg=args.ktg, npass=args.npass, tou=args.tou,
-                            matching=args.matching)
+                            matching=args.matching,
+                            check_tentagg=args.check_tentagg)
     timer = PhaseTimer()
     with timer.phase("setup.total", block_on=None):
         res = pairwise_aggregate(ell, cfg, timer=timer)
@@ -79,7 +80,8 @@ def cmd_solve(args):
         cfg = HierarchyConfig(
             max_coarse_size=args.max_coarse,
             aggregation=AggregationConfig(ktg=args.ktg, npass=args.npass,
-                                          tou=args.tou))
+                                          tou=args.tou,
+                                          check_tentagg=args.check_tentagg))
         with timer.phase("setup"):
             setup = build_amg_setup(ell, cfg)
         print_info("levels", [m.nrows for m in setup.matrices])
@@ -146,6 +148,9 @@ def build_parser():
     s.add_argument("--ktg", type=float, default=10.0)
     s.add_argument("--npass", type=int, default=2)
     s.add_argument("--tou", type=float, default=8.0)
+    s.add_argument("--check-tentagg", action="store_true",
+                   help="PSD re-check of tentative aggregate merges in the "
+                        "original matrix (dag2l_checktentagg)")
     s.add_argument("--matching", default="mutual",
                    choices=["mutual", "greedy"])
     s.add_argument("--tag", default="tpu")
@@ -167,6 +172,8 @@ def build_parser():
     s.add_argument("--smoother", default="gs2",
                    choices=["jacobi", "l1jacobi", "chebyshev", "gs2"])
     s.add_argument("--multilevel", action="store_true")
+    s.add_argument("--check-tentagg", action="store_true",
+                   help="PSD re-check of tentative aggregate merges")
     s.add_argument("--max-coarse", type=int, default=512)
     s.add_argument("--ktg", type=float, default=10.0)
     s.add_argument("--npass", type=int, default=2)

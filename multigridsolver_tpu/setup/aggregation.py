@@ -69,6 +69,49 @@ def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
     mem_cmin, mem_cmax = member_window_minmax(labels)
     packed = jnp.concatenate([nc[None].astype(jnp.int32),
                               mem_cmin, mem_cmax])
+    return paired, labels, packed, st.si, st.zerors
+
+
+@partial(jax.jit, static_argnames=("ktg", "checkdd", "trspos",
+                                   "fracnegrcsum", "max_rounds", "symmetric",
+                                   "mu_mode", "km", "retries"))
+def _match_pass_checked(a: ELL, a0: ELL, si0: jnp.ndarray,
+                        cum_labels: jnp.ndarray, zerors: jnp.ndarray,
+                        ktg: float, checkdd: float, trspos: float,
+                        fracnegrcsum: float, max_rounds: int,
+                        symmetric: bool, mu_mode: str, km: int,
+                        retries: int = 3):
+    """Further-pass matching with the checktentagg PSD re-check.
+
+    The reference's runner-up walk (rtent/jtent, f90:969-1017) becomes:
+    match → batch-test all tentative merges in the ORIGINAL matrix →
+    remove failed pairs' edges from the allowed mask → re-match, so every
+    rejected node proposes to its next-best surviving neighbour.  After
+    ``retries`` rounds the still-failing pairs break into singletons
+    (the Fortran's terminal case when the candidate list is exhausted).
+    """
+    from .tentagg import checktentagg
+    st = compute_strength(a, ktg, False, checkdd=checkdd, trspos=trspos,
+                          fracnegrcsum=fracnegrcsum, symmetric=symmetric,
+                          mu_mode=mu_mode)
+    npad = a.npad
+    nodes = jnp.arange(npad, dtype=jnp.int32)
+    allowed = st.allowed
+    paired = jnp.full((npad,), -1, jnp.int32)
+    fail = jnp.zeros((npad,), bool)
+    for _ in range(retries):
+        paired = mutual_match(a, st._replace(allowed=allowed),
+                              max_rounds=max_rounds)
+        acc = checktentagg(a0, si0, cum_labels, a, paired,
+                           float(ktg), zerors, km)
+        fail = ~acc & (paired >= 0) & (paired != nodes)
+        partner = jnp.where(paired >= 0, paired, -1)
+        allowed = allowed & ~(fail[None, :] & (a.cols == partner[None, :]))
+    paired = jnp.where(fail, nodes, paired)      # exhausted → singleton
+    labels, nc = labels_from_pairs(paired, st.excluded, a=a)
+    mem_cmin, mem_cmax = member_window_minmax(labels)
+    packed = jnp.concatenate([nc[None].astype(jnp.int32),
+                              mem_cmin, mem_cmax])
     return paired, labels, packed
 
 
@@ -145,19 +188,33 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         nnz0 = a.nnz
     passes: list[PassInfo] = []
 
-    def run_pass(mat: ELL, first: bool):
+    pass1_state = {}
+
+    def run_pass(mat: ELL, first: bool, pass_no: int = 1,
+                 cum_labels=None):
         if cfg.matching == "greedy":
             labels, nc = _greedy_pass(mat, first, cfg)
             paired = jnp.asarray(
                 paired_from_labels_host(np.asarray(labels)), jnp.int32)
             return paired, labels, nc, None
-        paired, labels, packed = _match_pass(mat, first, float(cfg.ktg),
-                                             float(cfg.checkdd),
-                                             float(cfg.trspos),
-                                             float(cfg.fracnegrcsum),
-                                             int(cfg.max_matching_rounds),
-                                             bool(cfg.symmetric),
-                                             str(cfg.mu_mode))
+        km = 2 ** (pass_no - 1)
+        if (cfg.check_tentagg and not first and km <= 8
+                and pass1_state and a.npad % 1024 == 0):
+            paired, labels, packed = _match_pass_checked(
+                mat, a, pass1_state["si"], cum_labels,
+                pass1_state["zerors"], float(cfg.ktg), float(cfg.checkdd),
+                float(cfg.trspos), float(cfg.fracnegrcsum),
+                int(cfg.max_matching_rounds), bool(cfg.symmetric),
+                str(cfg.mu_mode), km)
+        else:
+            paired, labels, packed, si, zerors = _match_pass(
+                mat, first, float(cfg.ktg), float(cfg.checkdd),
+                float(cfg.trspos), float(cfg.fracnegrcsum),
+                int(cfg.max_matching_rounds), bool(cfg.symmetric),
+                str(cfg.mu_mode))
+            if first:
+                pass1_state["si"] = si
+                pass1_state["zerors"] = zerors
         nc, m_plan = _unpack_match(mat, np.asarray(packed))
         return paired, labels, nc, m_plan
 
@@ -174,7 +231,8 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         if cfg.max_restriction and ac.nrows < cfg.max_restriction:
             break
         with timer.phase(f"aggregation.pass{s}"):
-            paired, pass_labels, nc, m_plan = run_pass(ac, False)
+            paired, pass_labels, nc, m_plan = run_pass(
+                ac, False, pass_no=s, cum_labels=cum_labels)
         cum_labels = compose_labels(cum_labels, pass_labels)
         with timer.phase(f"aggregation.galerkin{s}"):
             ac, nnz_c = galerkin_pair_ell(ac, paired, pass_labels, nc,

@@ -43,6 +43,7 @@ class StrengthData(NamedTuple):
     mu: jnp.ndarray         # (K, npad) μ per stored slot (junk on invalid)
     allowed: jnp.ndarray    # (K, npad) bool — pair candidate mask
     vals_t: jnp.ndarray     # (K, npad) aⱼᵢ per slot
+    zerors: jnp.ndarray = np.False_  # scalar: the zerors rule fired
 
 
 def si_vector(a: ELL) -> jnp.ndarray:
@@ -231,4 +232,4 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
         mu = jnp.where(has_pair, 0.5 * mu + 0.5 * mu_t, mu)
         allowed = allowed & has_pair
     return StrengthData(diag=diag, si=si, excluded=excl, mu=mu,
-                        allowed=allowed, vals_t=vals_t)
+                        allowed=allowed, vals_t=vals_t, zerors=zerors)
