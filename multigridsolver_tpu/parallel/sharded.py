@@ -106,11 +106,17 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh,
     Labels are padded with -1 (excluded), so repadding never changes the
     operator.
     """
+    from .halo import HaloOp, halo_width
     ndev = mesh.devices.size
     new_levels = []
     for idx, lvl in enumerate(hier.levels):
         if idx < shard_levels:
             a = shard_operator(lvl.a, mesh)
+            # banded operators ride the ppermute halo exchange instead of
+            # the XLA all-gather (2W floats over ICI per SpMV, not n)
+            if (hasattr(a, "offsets") and a.offsets
+                    and halo_width(a) <= a.npad // ndev):
+                a = HaloOp(a=a, mesh=mesh)
             labels = lvl.labels
             if labels.shape[0] < a.npad:
                 labels = jnp.concatenate([

@@ -72,6 +72,8 @@ def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
     Invalid ELL slots have val = 0, so no masking is needed; ``cols``
     padding is 0 which is always in range.
     """
+    if hasattr(a, "mesh"):        # HaloOp: sharded ppermute-halo path
+        return a.spmv(x)
     if hasattr(a, "offsets"):
         from . import hybrid
         return hybrid.spmv(a, x)
