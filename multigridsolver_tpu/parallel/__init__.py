@@ -1,3 +1,4 @@
 from .sharded import (make_row_mesh, shard_ell, shard_operator,
                       shard_hierarchy, shard_vector, replicate, repad_ell)
-from .halo import make_halo_spmv, halo_width
+from .halo import make_halo_spmv, halo_width, HaloOp
+from .dist_setup import build_amg_setup_sharded

@@ -122,7 +122,10 @@ def _unpack_match(a: ELL, packed_np: np.ndarray):
     nc = int(packed_np[0])
     m_plan = None
     ntiles_m = (packed_np.shape[0] - 1) // 2
-    if ntiles_m and nc > 0 and plans_enabled():
+    multishard = getattr(getattr(a.cols, "sharding", None), "device_set",
+                         None)
+    if (ntiles_m and nc > 0 and plans_enabled()
+            and (multishard is None or len(multishard) <= 1)):
         nc_pad = ((nc + 1023) // 1024) * 1024
         ntc = nc_pad // 1024
         plan = gp.plan_from_minmax(packed_np[1:1 + ntc],

@@ -294,7 +294,10 @@ def galerkin_pair_ell(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     ell = ELL(cols=cols[:kc_eff], vals=vals[:kc_eff],
               rownnz=jnp.minimum(rownnz, kc_eff).astype(jnp.int32),
               nrows=nc_true, ncols=nc_true)
-    if info_np.shape[0] > 2 and plans_enabled():
+    multishard = getattr(getattr(cols, "sharding", None), "device_set",
+                         None)
+    if (info_np.shape[0] > 2 and plans_enabled()
+            and (multishard is None or len(multishard) <= 1)):
         ntc = (info_np.shape[0] - 2) // 2
         plan = gp.plan_from_minmax(info_np[2:2 + ntc],
                                    info_np[2 + ntc:], nc_true)
