@@ -55,10 +55,112 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double)]
         lib.mgio_result_free.restype = None
         lib.mgio_result_free.argtypes = [ctypes.c_void_p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.mgio_write_mtx.restype = ctypes.c_int
+        lib.mgio_write_mtx.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       i64p, i64p, f64p]
+        lib.mgio_coo_to_csr.restype = ctypes.c_int64
+        lib.mgio_coo_to_csr.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                        i64p, i64p, f64p, i64p, i64p, f64p]
+        lib.mgio_cmk_order.restype = None
+        lib.mgio_cmk_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+        lib.mgio_greedy_pass.restype = ctypes.c_int64
+        lib.mgio_greedy_pass.argtypes = [
+            ctypes.c_int64, i64p, i64p, f64p, f64p, f64p,
+            ctypes.POINTER(ctypes.c_uint8), i64p, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int32)]
         _LIB = lib
     except OSError:
         _LIB = None
     return _LIB
+
+
+def _i64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _ptr(a, ty):
+    return a.ctypes.data_as(ctypes.POINTER(ty))
+
+
+def write_mtx_native(path: str, coo: COO) -> bool:
+    """Write a Matrix Market file with the C++ writer; False on fallback."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    row, col = _i64(coo.row), _i64(coo.col)
+    val = np.ascontiguousarray(coo.val, dtype=np.float64)
+    rc = lib.mgio_write_mtx(path.encode(), coo.shape[0], coo.shape[1],
+                            coo.nnz, _ptr(row, ctypes.c_int64),
+                            _ptr(col, ctypes.c_int64),
+                            _ptr(val, ctypes.c_double))
+    return rc == 0
+
+
+def coo_to_csr_native(coo: COO):
+    """COO→CSR (sort + duplicate merge) in C++; None on fallback."""
+    from ..sparse.formats import CSR
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = coo.shape[0]
+    row, col = _i64(coo.row), _i64(coo.col)
+    val = np.ascontiguousarray(coo.val, dtype=np.float64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indices = np.empty(max(coo.nnz, 1), dtype=np.int64)
+    data = np.empty(max(coo.nnz, 1), dtype=np.float64)
+    out = lib.mgio_coo_to_csr(n, coo.nnz, _ptr(row, ctypes.c_int64),
+                              _ptr(col, ctypes.c_int64),
+                              _ptr(val, ctypes.c_double),
+                              _ptr(indptr, ctypes.c_int64),
+                              _ptr(indices, ctypes.c_int64),
+                              _ptr(data, ctypes.c_double))
+    return CSR(indptr=indptr, indices=indices[:out], data=data[:out],
+               shape=coo.shape)
+
+
+def cmk_order_native(csr) -> np.ndarray | None:
+    """BFS ("CMK") visitation order in C++; None on fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = csr.nrows
+    indptr, indices = _i64(csr.indptr), _i64(csr.indices)
+    order = np.empty(n, dtype=np.int64)
+    lib.mgio_cmk_order(n, _ptr(indptr, ctypes.c_int64),
+                       _ptr(indices, ctypes.c_int64),
+                       _ptr(order, ctypes.c_int64))
+    return order
+
+
+def greedy_pass_native(csr, diag: np.ndarray, si: np.ndarray,
+                       excluded: np.ndarray, order: np.ndarray,
+                       ktg: float) -> np.ndarray | None:
+    """Exact sequential greedy matching (AGMG.cpp:101-194 semantics) in
+    C++ — the large-problem parity baseline; None on fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = csr.nrows
+    indptr, indices = _i64(csr.indptr), _i64(csr.indices)
+    data = np.ascontiguousarray(csr.data, dtype=np.float64)
+    diag = np.ascontiguousarray(diag, dtype=np.float64)
+    si = np.ascontiguousarray(si, dtype=np.float64)
+    excl = np.ascontiguousarray(excluded, dtype=np.uint8)
+    order = _i64(order)
+    labels = np.empty(n, dtype=np.int32)
+    lib.mgio_greedy_pass(n, _ptr(indptr, ctypes.c_int64),
+                         _ptr(indices, ctypes.c_int64),
+                         _ptr(data, ctypes.c_double),
+                         _ptr(diag, ctypes.c_double),
+                         _ptr(si, ctypes.c_double),
+                         _ptr(excl, ctypes.c_uint8),
+                         _ptr(order, ctypes.c_int64), float(ktg),
+                         labels.ctypes.data_as(
+                             ctypes.POINTER(ctypes.c_int32)))
+    return labels
 
 
 def read_mtx_native(path: str) -> COO | None:

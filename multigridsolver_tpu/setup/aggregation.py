@@ -164,15 +164,28 @@ def paired_from_labels_host(labels_np: "np.ndarray") -> "np.ndarray":
 
 
 def _greedy_pass(a: ELL, first_pass: bool, cfg: AggregationConfig):
-    """Host-exact greedy pass (parity mode, float64 on CSR)."""
+    """Host-exact greedy pass (parity mode, float64 on CSR).
+
+    Runs in the native C++ runtime (io/native.py → native/mgio.cpp) when
+    libmgio is built — the pure-Python loops are O(n·deg²) and only keep
+    small parity fixtures honest; poisson1000-scale parity needs C++."""
+    from ..io.native import cmk_order_native, greedy_pass_native
     csr = a.to_csr()
     st = compute_strength(a.astype(jnp.float64), cfg.ktg, first_pass,
                           checkdd=cfg.checkdd, trspos=cfg.trspos,
                           fracnegrcsum=cfg.fracnegrcsum)
     excluded = np.asarray(st.excluded)[: csr.nrows]
     si = np.asarray(st.si)[: csr.nrows]
-    order = cmk_order_host(csr) if first_pass else np.arange(csr.nrows)
-    labels_np = greedy_match_host(csr, cfg.ktg, excluded, si, order)
+    if first_pass:
+        order = cmk_order_native(csr)
+        if order is None:
+            order = cmk_order_host(csr)
+    else:
+        order = np.arange(csr.nrows)
+    diag = np.asarray(st.diag)[: csr.nrows]
+    labels_np = greedy_pass_native(csr, diag, si, excluded, order, cfg.ktg)
+    if labels_np is None:
+        labels_np = greedy_match_host(csr, cfg.ktg, excluded, si, order)
     nc = int(labels_np.max()) + 1 if (labels_np >= 0).any() else 0
     labels = jnp.full((a.npad,), -1, jnp.int32)
     labels = labels.at[: csr.nrows].set(jnp.asarray(labels_np))

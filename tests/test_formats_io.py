@@ -12,6 +12,7 @@ import scipy.sparse as sp
 from multigridsolver_tpu.io import read_mtx, read_mtx_coo, write_mtx
 from multigridsolver_tpu.sparse.formats import COO, CSR
 
+import conftest
 from conftest import reference_matrix_path
 
 
@@ -143,3 +144,63 @@ class TestELL:
         assert len(leaves) == 3
         ell2 = jax.tree_util.tree_map(lambda x: x, ell)
         assert ell2.nrows == ell.nrows
+
+
+class TestNativeBindings:
+    """The native runtime surface: every exported mgio_* symbol is bound
+    and agrees with the pure-Python implementations (VERDICT r1: half the
+    exports were dead code)."""
+
+    @pytest.fixture
+    def lib(self):
+        from multigridsolver_tpu.io import native
+        if native.get_lib() is None:
+            pytest.skip("libmgio.so not built")
+        return native
+
+    def test_write_mtx_roundtrip(self, lib, tmp_path):
+        from multigridsolver_tpu.io import read_mtx
+        rs = np.random.RandomState(0)
+        coo = COO(row=np.array([0, 1, 2, 2]), col=np.array([1, 0, 2, 0]),
+                  val=rs.randn(4), shape=(3, 3))
+        p = str(tmp_path / "w.mtx")
+        assert lib.write_mtx_native(p, coo)
+        back = read_mtx(p)
+        np.testing.assert_allclose(back.to_dense(),
+                                   coo.to_csr().to_dense(), rtol=1e-15)
+
+    def test_coo_to_csr_matches_python(self, lib):
+        rs = np.random.RandomState(1)
+        n, nnz = 50, 300
+        coo = COO(row=rs.randint(0, n, nnz), col=rs.randint(0, n, nnz),
+                  val=rs.randn(nnz), shape=(n, n))
+        ref = coo.to_csr()
+        nat = lib.coo_to_csr_native(coo)
+        np.testing.assert_array_equal(nat.indptr, ref.indptr)
+        np.testing.assert_array_equal(nat.indices, ref.indices)
+        np.testing.assert_allclose(nat.data, ref.data, rtol=1e-15)
+
+    def test_cmk_order_matches_python(self, lib):
+        from multigridsolver_tpu.setup.matching import cmk_order_host
+        a = conftest.poisson2d_csr(15)
+        np.testing.assert_array_equal(lib.cmk_order_native(a),
+                                      cmk_order_host(a))
+
+    def test_greedy_pass_matches_python(self, lib):
+        """The C++ exact-greedy baseline must reproduce the Python parity
+        twin bit-for-bit (labels are integers)."""
+        import jax.numpy as jnp
+        from multigridsolver_tpu.setup.matching import (cmk_order_host,
+                                                        greedy_match_host)
+        from multigridsolver_tpu.setup.strength import compute_strength
+        a = conftest.poisson2d_csr(20)
+        ell = a.to_ell(row_pad=8, dtype=jnp.float64)
+        st = compute_strength(ell, 10.0, True)
+        n = a.nrows
+        excl = np.asarray(st.excluded)[:n]
+        si = np.asarray(st.si)[:n]
+        diag = np.asarray(st.diag)[:n]
+        order = cmk_order_host(a)
+        ref = greedy_match_host(a, 10.0, excl, si, order)
+        nat = lib.greedy_pass_native(a, diag, si, excl, order, 10.0)
+        np.testing.assert_array_equal(nat, ref)
