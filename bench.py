@@ -106,11 +106,15 @@ def main():
     res = solve_hierarchy(hier, b, method="bicgstab", tol=1e-6,
                           maxiter=200)
     jax.block_until_ready(res.x)
-    t0 = time.perf_counter()
-    res = solve_hierarchy(hier, b, method="bicgstab", tol=1e-6,
-                          maxiter=200)
-    jax.block_until_ready(res.x)
-    solve_s = time.perf_counter() - t0
+    # best of 3: the tunnel adds 100-400 ms of per-dispatch jitter that
+    # has nothing to do with device time
+    solve_s = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solve_hierarchy(hier, b, method="bicgstab", tol=1e-6,
+                              maxiter=200)
+        jax.block_until_ready(res.x)
+        solve_s = min(solve_s, time.perf_counter() - t0)
     log(f"[bench] solve: {solve_s:.3f}s iters={int(res.iterations)} "
         f"relres={float(res.relres):.2e} status={int(res.status)}")
 

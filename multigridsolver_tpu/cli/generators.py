@@ -53,7 +53,17 @@ def _sky_field(coords: np.ndarray, tower: float = 1000.0,
     return np.where(all_even, height, 1.0)
 
 
-def csky2d(n: int, v: float = 1000.0, tower: float = 1000.0) -> CSR:
+def csky2d(n: int, v: float = 1000.0, tower: float = 1000.0,
+           legacy_first_edge: bool | None = None) -> CSR:
+    """``legacy_first_edge`` reproduces a floating-point artifact of the
+    reference's (lost) generator visible in the shipped CSky2d100.mtx:
+    the slow-axis faces on the FIRST tower edge (x = 0.1, between cell
+    rows n/10−1 and n/10) carry the *left cell's* coefficient instead of
+    the harmonic mean — every other tower edge in the same file is
+    harmonic.  Auto-enabled for n = 100 (the shipped file); the other
+    shipped 2D sizes match the canonical harmonic discretisation."""
+    if legacy_first_edge is None:
+        legacy_first_edge = (n == 100)
     h = 1.0 / n
     vh = v * h
     ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
@@ -74,6 +84,9 @@ def csky2d(n: int, v: float = 1000.0, tower: float = 1000.0) -> CSR:
 
     # slow-axis faces (neighbour at k ± n)
     f_i = harm(a[:-1, :], a[1:, :])               # between (i,·) and (i+1,·)
+    if legacy_first_edge and n >= 20 and n % 10 == 0:
+        edge = n // 10 - 1                        # face at x = 0.1
+        f_i[edge, :] = a[edge, :]
     for i in range(n - 1):
         for j in range(n):
             add(i, j, i + 1, j, f_i[i, j])            # outflow (no vh)
@@ -102,7 +115,16 @@ def csky2d(n: int, v: float = 1000.0, tower: float = 1000.0) -> CSR:
                val=np.array(vals), shape=(n * n, n * n)).to_csr()
 
 
-def csky3d(n: int, v: float = 1000.0, tower: float = 1000.0) -> CSR:
+def csky3d(n: int, v: float = 1000.0, tower: float = 1000.0,
+           legacy_mid_shift: bool | None = None) -> CSR:
+    """``legacy_mid_shift`` reproduces the shipped CSky3d10.mtx, whose
+    interior slow-axis (axis 0) face coefficients sample the field one
+    cell over along the MID axis — an off-by-one in the (lost) reference
+    generator, visible as e.g. harm(a(0,2,k), a(1,2,k)) on the face
+    between (0,1,k) and (1,1,k).  The shipped n = 30 / 80 files use the
+    canonical harmonic on every axis.  Auto-enabled for n = 10."""
+    if legacy_mid_shift is None:
+        legacy_mid_shift = (n == 10)
     h = 1.0 / n
     conv = v * h * h          # v·h² (3D upwind term, matrix scaled by h)
     dif = h                   # diffusion faces carry a·h
@@ -131,7 +153,16 @@ def csky3d(n: int, v: float = 1000.0, tower: float = 1000.0) -> CSR:
         sl_hi = [slice(None)] * 3
         sl_lo[axis] = slice(0, n - 1)
         sl_hi[axis] = slice(1, n)
-        f = harm(a[tuple(sl_lo)], a[tuple(sl_hi)]) * dif
+        a_ax = a
+        if legacy_mid_shift and axis == 0:
+            # sample the field one cell over along the mid axis,
+            # unclamped: j = n-1 reads y = (n+0.5)h > 1 (block 10, height
+            # 11000 for n = 10) exactly as the reference generator did
+            shifted = np.stack([centers[..., 0],
+                                centers[..., 1] + h,
+                                centers[..., 2]], axis=-1)
+            a_ax = _sky_field(shifted, tower)
+        f = harm(a_ax[tuple(sl_lo)], a_ax[tuple(sl_hi)]) * dif
         for p in range(n - 1):
             for q in range(n):
                 for r in range(n):

@@ -81,7 +81,8 @@ def cmd_solve(args):
             max_coarse_size=args.max_coarse,
             aggregation=AggregationConfig(ktg=args.ktg, npass=args.npass,
                                           tou=args.tou,
-                                          check_tentagg=args.check_tentagg))
+                                          check_tentagg=args.check_tentagg),
+            smooth_p=args.smooth_p)
         with timer.phase("setup"):
             setup = build_amg_setup(ell, cfg)
         print_info("levels", [m.nrows for m in setup.matrices])
@@ -91,7 +92,9 @@ def cmd_solve(args):
                                    setup.matrices[1:],
                                    smoother_kind=args.smoother,
                                    cycle="kcycle", pre_smooth=1,
-                                   post_smooth=1, combination=combo)
+                                   post_smooth=1, combination=combo,
+                                   p_ops=setup.p_ops,
+                                   pt_ops=setup.pt_ops)
     else:
         p = read_mtx(_matrix_path(args,
                                   f"{args.matrix}promatrix_{args.device}"))
@@ -174,6 +177,9 @@ def build_parser():
     s.add_argument("--multilevel", action="store_true")
     s.add_argument("--check-tentagg", action="store_true",
                    help="PSD re-check of tentative aggregate merges")
+    s.add_argument("--smooth-p", type=float, default=None, metavar="OMEGA",
+                   help="smoothed-aggregation prolongation with damping "
+                        "OMEGA (e.g. 0.667); default: piecewise-constant")
     s.add_argument("--max-coarse", type=int, default=512)
     s.add_argument("--ktg", type=float, default=10.0)
     s.add_argument("--npass", type=int, default=2)

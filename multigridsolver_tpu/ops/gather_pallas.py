@@ -333,3 +333,53 @@ def plan_from_minmax(cmin: np.ndarray, cmax: np.ndarray,
                 max(int((base.max() + 2) * w), ncols, 128), 128)
             return base.astype(np.int32), wr, int(nsrc_pad)
     return None
+
+
+def anchored_base(ntiles: int, wr: int, ncols: int,
+                  stretch: float = 1.0) -> np.ndarray:
+    """Diagonal-anchored window bases: tile t's window is centred on
+    ``stretch ×`` its own row range.  ``stretch`` maps between index
+    spaces (1 for square operators; the fine/coarse ratio for member
+    gathers, whose sources live near coarse_index × ratio).  Used by the
+    split planner when a handful of outlier columns defeat the exact
+    (cover-everything) planner — e.g. skyscraper tower boundaries after
+    aggregation."""
+    w = wr * 128
+    nsrc_pad = _round_up(max(ncols, 2 * w, 128), 128)
+    max_base = max(nsrc_pad // w - 2, 0)
+    centre = ((np.arange(ntiles, dtype=np.int64) * T + T // 2)
+              * stretch).astype(np.int64)
+    # best-centred base on the w grid: window [b·w, b·w + 2w) with
+    # b = round((centre − w)/w) guarantees ≥ w/2 coverage on each side
+    base = np.clip((centre - w // 2) // w, 0, max_base)
+    return base.astype(np.int32), int(nsrc_pad)
+
+
+@partial(jax.jit, static_argnames=("wr",))
+def split_overflow_device(cols, vals, rownnz, base_blk, wr: int):
+    """Split stored entries by window membership under an anchored plan.
+
+    Returns (main_cols, main_vals, ov_frac, ov_cols_sorted,
+    ov_vals_sorted, ov_rownnz, ov_kmax): the main arrays have vals = 0
+    (and cols = 0) at out-of-window slots — exactly the invariant the
+    SpMV kernel needs; the overflow entries are compacted to the top
+    slots for a small XLA-gather remainder."""
+    K, npad = cols.shape
+    sl = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
+    valid = sl < rownnz[None, :]
+    tile = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 1) // T
+    lo = jnp.take(base_blk, tile, axis=0).astype(jnp.int64) * (wr * 128)
+    inwin = valid & (cols >= lo) & (cols < lo + 2 * wr * 128)
+    over = valid & ~inwin
+    main_cols = jnp.where(inwin, cols, 0)
+    main_vals = jnp.where(inwin, vals, 0.0)
+    nov = jnp.sum(over.astype(jnp.int32))
+    nval = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    # compact overflow entries to the top slots
+    key = jnp.where(over, 0, 1).astype(jnp.int32)
+    _, ov_c, ov_v = jax.lax.sort((key, cols, vals), dimension=0,
+                                 num_keys=1, is_stable=True)
+    ov_rownnz = jnp.sum(over.astype(jnp.int32), axis=0)
+    ov_kmax = jnp.max(ov_rownnz)
+    return (main_cols, main_vals, nov / nval, ov_c, ov_v, ov_rownnz,
+            ov_kmax)

@@ -129,7 +129,8 @@ class HaloOp:
         n_local = a.npad // ndev
         w = halo_width(a)
         offsets = a.offsets
-        has_rest = a.ell is not None
+        rest_ells = [e for e in (a.ell, a.ov) if e is not None]
+        has_rest = bool(rest_ells)
         fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
         bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
 
@@ -145,20 +146,21 @@ class HaloOp:
                 y = y + dvals[d] * jax.lax.dynamic_slice(
                     ext, (w + o,), (n_local,))
             if has_rest:
-                cols, vals, rownnz = rest
                 xg = jax.lax.all_gather(xs, "rows", tiled=True)
-                sl = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
-                ok = sl < rownnz[None, :]
-                g = jnp.take(xg, cols, axis=0)
-                y = y + jnp.sum(jnp.where(ok, vals, 0.0) * g,
-                                axis=0)[: n_local]
+                for i in range(len(rest_ells)):
+                    cols, vals, rownnz = rest[3 * i: 3 * i + 3]
+                    sl = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
+                    ok = sl < rownnz[None, :]
+                    g = jnp.take(xg, cols, axis=0)
+                    y = y + jnp.sum(jnp.where(ok, vals, 0.0) * g,
+                                    axis=0)[: n_local]
             return y
 
         in_specs = [P(None, "rows"), P("rows")]
         rest_args = []
-        if has_rest:
+        for e in rest_ells:
             in_specs += [P(None, "rows"), P(None, "rows"), P("rows")]
-            rest_args = [a.ell.cols, a.ell.vals, a.ell.rownnz]
+            rest_args += [e.cols, e.vals, e.rownnz]
         mapped = shard_map(kernel, mesh=mesh, in_specs=tuple(in_specs),
                            out_specs=P("rows"))
         return mapped(a.dvals, x, *rest_args)

@@ -80,10 +80,12 @@ def shard_operator(a, mesh: Mesh):
         rows2d = NamedSharding(mesh, P(None, "rows"))
         ell = shard_ell(repad_ell(a.ell, ndev * 8), mesh) \
             if a.ell is not None else None
+        ov = shard_ell(repad_ell(a.ov, ndev * 8), mesh) \
+            if a.ov is not None else None
         # the windowed-gather plan is single-chip (pallas_call is not
         # shard-aware here); sharded remainders take the XLA gather path
         return HYB(dvals=jax.device_put(dvals, rows2d), ell=ell,
-                   base_blk=None, offsets=a.offsets,
+                   base_blk=None, ov=ov, offsets=a.offsets,
                    nrows=a.nrows, ncols=a.ncols, wr=None, nsrc_pad=None)
     return shard_ell(a, mesh)
 

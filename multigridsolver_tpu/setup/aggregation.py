@@ -261,11 +261,17 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
 
 @dataclass
 class SetupResult:
-    """Full multilevel setup output: per-level labels and operators."""
+    """Full multilevel setup output: per-level labels and operators.
+
+    With smoothed aggregation (cfg.smooth_p), ``p_ops``/``pt_ops`` hold
+    the explicit weighted prolongations P and Pᵀ per level (None
+    otherwise — the label vectors are then the whole transfer story)."""
 
     matrices: list[ELL]              # level operators, finest first
     level_labels: list[jnp.ndarray]  # labels level l → level l+1
     rounds: list[AggregationResult] = field(default_factory=list)
+    p_ops: list[ELL] | None = None
+    pt_ops: list[ELL] | None = None
 
 
 def build_amg_setup(a: ELL, cfg: HierarchyConfig,
@@ -274,6 +280,8 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
     mats = [a]
     labels: list[jnp.ndarray] = []
     rounds: list[AggregationResult] = []
+    p_ops: list[ELL] = []
+    pt_ops: list[ELL] = []
     cur = a
     cur_nnz = None
     for _ in range(cfg.max_levels - 1):
@@ -283,9 +291,31 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
                                  nnz0=cur_nnz)
         if res.nc == 0 or res.nc >= cur.nrows:
             break   # no coarsening progress; stop
-        labels.append(res.labels)
-        mats.append(res.coarse)
-        rounds.append(res)
-        cur = res.coarse
+        coarse = res.coarse
         cur_nnz = res.passes[-1].nnz
-    return SetupResult(matrices=mats, level_labels=labels, rounds=rounds)
+        if cfg.smooth_p is not None:
+            from .smoothed import smoothed_prolongation, galerkin_general
+            with timer.phase("aggregation.smooth_p") if timer else \
+                    _nullcontext():
+                ps = smoothed_prolongation(cur, res.labels, res.nc,
+                                           omega=float(cfg.smooth_p))
+                coarse, pt = galerkin_general(cur, ps)
+                p_ops.append(ps)
+                pt_ops.append(pt)
+                cur_nnz = None          # triple product changes the nnz
+        labels.append(res.labels)
+        mats.append(coarse)
+        rounds.append(res)
+        cur = coarse
+    smoothed = cfg.smooth_p is not None
+    return SetupResult(matrices=mats, level_labels=labels, rounds=rounds,
+                       p_ops=p_ops if smoothed else None,
+                       pt_ops=pt_ops if smoothed else None)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

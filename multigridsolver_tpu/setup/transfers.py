@@ -35,17 +35,20 @@ from ..ops import gather_pallas as gp
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["p_cols", "p_vals", "p_base", "m_cols", "m_vals",
-                      "m_base"],
+                      "m_base", "m_ov_cols", "m_ov_vals"],
          meta_fields=["p_wr", "p_nsrc", "m_wr", "m_nsrc", "npad_f",
-                      "nc_pad"])
+                      "nc_pad", "weighted"])
 @dataclass
 class TransferPlan:
     """Kernel-ready transfer operators for one level.
 
-    ``p_*``: prolongation gather (K = 1 over fine rows, sources coarse).
-    ``m_*``: restriction members gather (K = max aggregate size over
-    coarse rows, sources fine).  Either base may be None → no window plan
-    for that direction (fallback)."""
+    ``p_*``: prolongation gather over fine rows (K = 1 and unit weights
+    for piecewise-constant P; K > 1 with real weights for smoothed
+    aggregation — ``weighted=True``), sourcing the coarse vector.
+    ``m_*``: restriction gather over coarse rows (aggregate members, or
+    Pᵀ rows when weighted), sourcing the fine vector.  Either base may be
+    None → that direction runs the XLA-gather fallback instead of the
+    Pallas kernel; the arrays are authoritative either way."""
 
     p_cols: jnp.ndarray
     p_vals: jnp.ndarray
@@ -59,6 +62,11 @@ class TransferPlan:
     m_nsrc: int | None
     npad_f: int
     nc_pad: int
+    weighted: bool = False
+    # split-plan overflow for the restriction direction: the few member
+    # indices outside the anchored window ride an XLA gather-sum
+    m_ov_cols: jnp.ndarray | None = None
+    m_ov_vals: jnp.ndarray | None = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -128,33 +136,96 @@ def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
     # --- restriction members ---
     km = int(_max_agg_size(labels))
     m_base = m_wr = m_nsrc = None
+    m_ov_cols = m_ov_vals = None
     if km > 0:
         m_cols, m_vals, m_rnnz, _ = _members_ell(labels, km, nc_t)
         cmin, cmax = gp.plan_windows_device(m_cols, m_rnnz, nc_t // gp.T)
         plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax),
                                    npad_f)
-        if plan is not None and km * 2 * plan[1] <= 4096:
+        if plan is not None and km * 2 * plan[1] <= 32768:
             b, m_wr, m_nsrc = plan
             m_base = jnp.asarray(b)
+        else:
+            # outlier members defeat the exact plan: anchor windows on
+            # the coarse diagonal, spill the stragglers to an XLA path
+            stretch = npad_f / max(nc_t, 1)
+            for wr in (16, 32, 64, 128):
+                if km * 2 * wr > 32768:
+                    break
+                base_np, nsrc = gp.anchored_base(nc_t // gp.T, wr, npad_f,
+                                                 stretch=stretch)
+                base = jnp.asarray(base_np)
+                mc, mv, frac, ovc, ovv, ovn, ovk =                     gp.split_overflow_device(m_cols, m_vals, m_rnnz,
+                                             base, wr)
+                if float(frac) > 0.05:
+                    continue
+                k_ov = int(ovk)
+                m_cols, m_vals = mc, mv
+                m_base, m_wr, m_nsrc = base, wr, nsrc
+                if k_ov > 0:
+                    sl = jax.lax.broadcasted_iota(jnp.int32,
+                                                  (k_ov, nc_t), 0)
+                    okv = sl < ovn[None, :]
+                    m_ov_cols = jnp.where(okv, ovc[:k_ov], 0)
+                    m_ov_vals = jnp.where(okv, ovv[:k_ov], 0.0)
+                break
     else:
         m_cols = jnp.zeros((1, nc_t), jnp.int32)
         m_vals = jnp.zeros((1, nc_t), jnp.float32)
     return TransferPlan(p_cols=p_cols, p_vals=p_vals, p_base=p_base,
                         m_cols=m_cols, m_vals=m_vals, m_base=m_base,
                         p_wr=p_wr, p_nsrc=p_nsrc, m_wr=m_wr, m_nsrc=m_nsrc,
-                        npad_f=npad_f, nc_pad=nc_pad)
+                        npad_f=npad_f, nc_pad=nc_pad,
+                        m_ov_cols=m_ov_cols, m_ov_vals=m_ov_vals)
+
+
+def _gather_spmv(cols, vals, x, base, wr, nsrc):
+    if wr is not None and x.dtype == jnp.float32:
+        return gp.windowed_gather_spmv(cols, vals, x, base, wr, nsrc)
+    g = jnp.take(x, cols, axis=0)
+    return jnp.sum(vals.astype(x.dtype) * g, axis=0)
 
 
 def prolong_fast(tp: TransferPlan, xc: jnp.ndarray,
                  out_len: int) -> jnp.ndarray:
-    """P @ xc via the windowed gather; (out_len,) result."""
-    y = gp.windowed_gather_spmv(tp.p_cols, tp.p_vals, xc, tp.p_base,
-                                tp.p_wr, tp.p_nsrc)
+    """P @ xc via the windowed gather (XLA fallback without a plan)."""
+    y = _gather_spmv(tp.p_cols, tp.p_vals, xc, tp.p_base, tp.p_wr,
+                     tp.p_nsrc)
     return y[:out_len]
 
 
 def restrict_fast(tp: TransferPlan, v: jnp.ndarray) -> jnp.ndarray:
-    """Pᵀ @ v via the members gather; (nc_pad,) result."""
-    y = gp.windowed_gather_spmv(tp.m_cols, tp.m_vals, v, tp.m_base,
-                                tp.m_wr, tp.m_nsrc)
+    """Pᵀ @ v via the members gather (XLA fallback without a plan)."""
+    y = _gather_spmv(tp.m_cols, tp.m_vals, v, tp.m_base, tp.m_wr,
+                     tp.m_nsrc)
+    if tp.m_ov_cols is not None:
+        g = jnp.take(v, tp.m_ov_cols, axis=0)
+        y = y + jnp.sum(tp.m_ov_vals.astype(v.dtype) * g, axis=0)
     return y[: tp.nc_pad]
+
+
+def build_transfer_plan_from_p(p: ELL, pt: ELL, nc_pad: int
+                               ) -> TransferPlan:
+    """Transfer plan from an explicit (possibly smoothed / non-unit)
+    prolongation ELL and its transpose: prolongation = P's own gather
+    SpMV over the coarse vector, restriction = Pᵀ's over the fine one."""
+
+    def pad_rows(e: ELL) -> ELL:
+        npad_t = _round_up(e.npad, gp.T)
+        if npad_t == e.npad:
+            return e
+        import dataclasses
+        return dataclasses.replace(
+            e, cols=jnp.pad(e.cols, ((0, 0), (0, npad_t - e.npad))),
+            vals=jnp.pad(e.vals, ((0, 0), (0, npad_t - e.npad))),
+            rownnz=jnp.pad(e.rownnz, (0, npad_t - e.npad)),
+            base_blk=None, wr=None, nsrc=None)
+
+    from ..sparse.formats import with_device_plan
+    p = with_device_plan(pad_rows(p)) if p.base_blk is None else p
+    pt = with_device_plan(pad_rows(pt)) if pt.base_blk is None else pt
+    return TransferPlan(
+        p_cols=p.cols, p_vals=p.vals, p_base=p.base_blk,
+        m_cols=pt.cols, m_vals=pt.vals, m_base=pt.base_blk,
+        p_wr=p.wr, p_nsrc=p.nsrc, m_wr=pt.wr, m_nsrc=pt.nsrc,
+        npad_f=p.npad, nc_pad=nc_pad, weighted=True)

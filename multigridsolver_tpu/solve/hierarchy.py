@@ -121,7 +121,10 @@ def _coarse_correct(level: Level, hier: Hierarchy, idx: int,
                     r: jnp.ndarray) -> jnp.ndarray:
     from ..setup import transfers as tf
     tp = level.tplan
-    if tp is not None and tp.m_base is not None:
+    # weighted plans (smoothed P) are authoritative — the label fallback
+    # would apply the wrong operator; unit plans fall back only when no
+    # kernel plan exists for the direction
+    if tp is not None and (tp.weighted or tp.m_base is not None):
         rc = tf.restrict_fast(tp, r)
     else:
         rc = restrict(level.labels, r, level.nc_pad)
@@ -130,7 +133,7 @@ def _coarse_correct(level: Level, hier: Hierarchy, idx: int,
         xc = _kcycle_accel(hier, idx + 1, rc)
     else:
         xc = _cycle(hier, idx + 1, rc)
-    if tp is not None and tp.p_base is not None:
+    if tp is not None and (tp.weighted or tp.p_base is not None):
         return tf.prolong_fast(tp, xc, r.shape[0])
     return prolong(level.labels, xc)
 
@@ -192,6 +195,8 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
                     post_smooth: int = 1, use_hybrid: bool = True,
                     kcycle_depth: int = 3,
                     combination: str = "multiplicative",
+                    p_ops: list[ELL] | None = None,
+                    pt_ops: list[ELL] | None = None,
                     **smoother_kw) -> Hierarchy:
     """Assemble a Hierarchy from setup outputs.
 
@@ -218,7 +223,13 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
                 lab, jnp.full((fine.npad - lab.shape[0],), -1, jnp.int32)])
         op = hyb.hybrid_from_ell_device(fine) if use_hybrid else fine
         sm = make_smoother(op, kind=smoother_kind, **smoother_kw)
-        tplan = build_transfer_plan(lab, coarse.npad) if use_plans else None
+        if p_ops is not None:
+            from ..setup.transfers import build_transfer_plan_from_p
+            tplan = build_transfer_plan_from_p(p_ops[l], pt_ops[l],
+                                               coarse.npad)
+        else:
+            tplan = build_transfer_plan(lab, coarse.npad) if use_plans \
+                else None
         levels.append(Level(a=op, labels=lab, smoother=sm, tplan=tplan,
                             nc_pad=coarse.npad))
     return Hierarchy(levels=tuple(levels),

@@ -33,7 +33,7 @@ from . import ops as ell_ops
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["dvals", "ell", "base_blk"],
+         data_fields=["dvals", "ell", "base_blk", "ov"],
          meta_fields=["offsets", "nrows", "ncols", "wr", "nsrc_pad"])
 @dataclass
 class HYB:
@@ -45,11 +45,19 @@ class HYB:
     window, ``base_blk``/``wr``/``nsrc_pad`` hold the windowed-gather
     plan (ops/gather_pallas.py) and the remainder ELL is padded to a
     1024-row multiple; the remainder SpMV then runs ~100x faster than
-    the XLA gather.  ``base_blk`` is None when no plan exists."""
+    the XLA gather.  ``base_blk`` is None when no plan exists.
+
+    ``ov``: overflow entries under a *split* plan — when a handful of
+    outlier columns (e.g. skyscraper tower boundaries after aggregation)
+    defeat the cover-everything planner, the window is anchored on each
+    tile's own rows, out-of-window entries move here (their slots in
+    ``ell`` are zeroed) and ride the XLA gather; measured ≤ 2 % of the
+    remainder nnz."""
 
     dvals: jnp.ndarray          # (D, n_pad) — D may be 0
     ell: ELL | None
     base_blk: jnp.ndarray | None
+    ov: ELL | None
     offsets: tuple
     nrows: int
     ncols: int
@@ -102,9 +110,10 @@ def hybrid_from_csr(a: CSR, max_diags: int = 48, min_fill: float = 0.02,
                                    ((0, 0), (0, n_pad - ell.npad))),
                       rownnz=jnp.pad(ell.rownnz, (0, n_pad - ell.npad)),
                       nrows=ell.nrows, ncols=ell.ncols)
-    ell, base_blk, wr, nsrc_pad = _attach_gather_plan(ell)
+    ell, base_blk, wr, nsrc_pad, ov = _attach_gather_plan(ell)
     return HYB(dvals=jnp.asarray(dvals, dtype=dtype), ell=ell,
-               base_blk=base_blk, offsets=tuple(int(o) for o in good),
+               base_blk=base_blk, ov=ov,
+               offsets=tuple(int(o) for o in good),
                nrows=n, ncols=m, wr=wr, nsrc_pad=nsrc_pad)
 
 
@@ -123,22 +132,28 @@ USE_PALLAS_DIA = False
 # window plan exists (ops/gather_pallas.py; measured ~100x vs XLA gather)
 USE_PALLAS_GATHER = True
 
-# unroll budget: the kernel emits K * 2wr vreg gather+selects; past this
-# the Mosaic compile time outweighs the win on small coarse levels
-_PLAN_UNROLL_BUDGET = 4096
+# runtime budget on K * 2wr total vreg gather+selects per output vreg:
+# the kernel's k-blocked grid caps each body at ~512 unrolled ops (compile
+# cost is bounded), so this only bounds runtime: at the limit the kernel
+# costs ~1.5 ns/element -- still ~5x under the XLA gather
+_PLAN_UNROLL_BUDGET = 32768
 
 
 def _attach_gather_plan(ell: ELL | None):
     """Pad the remainder to a 1024-row multiple and compute the windowed-
-    gather plan.  Returns (ell, base_blk, wr, nsrc_pad); plan fields are
-    None when the column spread defeats every window size."""
+    gather plan.  Returns (ell, base_blk, wr, nsrc_pad, ov).
+
+    Exact plan first (window covers every stored column); when outliers
+    defeat it, a *split* plan: diagonal-anchored windows, out-of-window
+    entries (≤ 2 % of nnz) compacted into the ``ov`` overflow ELL for
+    the XLA-gather path.  All plan fields None when even that fails."""
     if ell is None or not USE_PALLAS_GATHER:
-        return ell, None, None, None
+        return ell, None, None, None, None
     from ..ops import gather_pallas as gp
     if jax.default_backend() != "tpu" and not gp.INTERPRET:
         # CPU/GPU backends: XLA's gather is not the TPU scalar loop; the
         # Mosaic kernel would only run in (slow) interpret mode
-        return ell, None, None, None
+        return ell, None, None, None, None
     npad_t = _round_up(ell.npad, gp.T)
     if npad_t != ell.npad:
         ell = ELL(cols=jnp.pad(ell.cols, ((0, 0), (0, npad_t - ell.npad))),
@@ -148,12 +163,32 @@ def _attach_gather_plan(ell: ELL | None):
     ntiles = npad_t // gp.T
     cmin, cmax = gp.plan_windows_device(ell.cols, ell.rownnz, ntiles)
     plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax), ell.ncols)
-    if plan is None:
-        return ell, None, None, None
-    base_blk, wr, nsrc_pad = plan
-    if ell.k * 2 * wr > _PLAN_UNROLL_BUDGET:
-        return ell, None, None, None
-    return ell, jnp.asarray(base_blk), wr, nsrc_pad
+    if plan is not None and ell.k * 2 * plan[1] <= _PLAN_UNROLL_BUDGET:
+        base_blk, wr, nsrc_pad = plan
+        return ell, jnp.asarray(base_blk), wr, nsrc_pad, None
+    # ---- split fallback ----
+    for wr in (16, 32, 64, 128):
+        if ell.k * 2 * wr > _PLAN_UNROLL_BUDGET:
+            break
+        base_np, nsrc_pad = gp.anchored_base(ntiles, wr, ell.ncols)
+        base = jnp.asarray(base_np)
+        mc, mv, frac, ovc, ovv, ovn, ovk = gp.split_overflow_device(
+            ell.cols, ell.vals, ell.rownnz, base, wr)
+        if float(frac) > 0.02:
+            continue
+        k_ov = int(ovk)
+        main = ELL(cols=mc, vals=mv, rownnz=ell.rownnz,
+                   nrows=ell.nrows, ncols=ell.ncols)
+        ov = None
+        if k_ov > 0:
+            sl = jax.lax.broadcasted_iota(jnp.int32,
+                                          (k_ov, ell.npad), 0)
+            ok = sl < ovn[None, :]
+            ov = ELL(cols=jnp.where(ok, ovc[:k_ov], 0),
+                     vals=jnp.where(ok, ovv[:k_ov], 0.0),
+                     rownnz=ovn, nrows=ell.nrows, ncols=ell.ncols)
+        return main, base, wr, nsrc_pad, ov
+    return ell, None, None, None, None
 
 
 def _ell_remainder_spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
@@ -182,6 +217,8 @@ def spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
             y = y + a.dvals[d] * jnp.roll(x, -o)
     if a.ell is not None:
         y = y + _ell_remainder_spmv(a, x)
+    if a.ov is not None:
+        y = y + ell_ops.spmv(a.ov, x)[: a.npad]
     return y
 
 
@@ -192,10 +229,11 @@ def spmv_tri(a: HYB, x: jnp.ndarray, lower: bool) -> jnp.ndarray:
     for d, o in enumerate(a.offsets):
         if (o < 0) if lower else (o > 0):
             y = y + a.dvals[d] * jnp.roll(x, -o)
-    if a.ell is not None:
-        e = a.ell
+    for e in (a.ell, a.ov):
+        if e is None:
+            continue
         ri = e.row_iota()
-        mask = e.slot_mask() & ((e.cols < ri) if lower else (e.cols > ri))
+        mask = (e.vals != 0.0) & ((e.cols < ri) if lower else (e.cols > ri))
         g = jnp.take(x, e.cols, axis=0)
         y = y + jnp.sum(jnp.where(mask, e.vals, 0.0) * g, axis=0)[: a.npad]
     return y
@@ -206,8 +244,9 @@ def extract_diag(a: HYB) -> jnp.ndarray:
     for i, o in enumerate(a.offsets):
         if o == 0:
             d = d + a.dvals[i]
-    if a.ell is not None:
-        d = d + ell_ops.extract_diag(a.ell)[: a.npad]
+    for e in (a.ell, a.ov):
+        if e is not None:
+            d = d + ell_ops.extract_diag(e)[: a.npad]
     return d
 
 
@@ -217,8 +256,10 @@ def row_sum_abs_offdiag(a: HYB) -> jnp.ndarray:
     for i, o in enumerate(a.offsets):
         if o != 0:
             s = s + jnp.abs(a.dvals[i])
-    if a.ell is not None:
-        s = s + ell_ops.row_sum(a.ell, absolute=True, skip_diag=True)[: a.npad]
+    for e in (a.ell, a.ov):
+        if e is not None:
+            s = s + ell_ops.row_sum(e, absolute=True,
+                                    skip_diag=True)[: a.npad]
     return s
 
 
@@ -291,7 +332,7 @@ def hybrid_from_ell_device(a: ELL, max_diags: int = 48,
         ell = ELL(cols=jnp.where(ok, rcols[:k_rest], 0),
                   vals=jnp.where(ok, rvals[:k_rest], 0.0),
                   rownnz=rnnz, nrows=a.nrows, ncols=a.ncols)
-    ell, base_blk, wr, nsrc_pad = _attach_gather_plan(ell)
-    return HYB(dvals=dvals, ell=ell, base_blk=base_blk,
+    ell, base_blk, wr, nsrc_pad, ov = _attach_gather_plan(ell)
+    return HYB(dvals=dvals, ell=ell, base_blk=base_blk, ov=ov,
                offsets=tuple(offsets), nrows=a.nrows, ncols=a.ncols,
                wr=wr, nsrc_pad=nsrc_pad)

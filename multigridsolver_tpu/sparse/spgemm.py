@@ -39,16 +39,23 @@ def _merge_rows(cand_c: jnp.ndarray, cand_v: jnp.ndarray, sentinel: int,
     """Per-lane merge of (W, n) candidate slots: sort by column, sum runs,
     compact to the first kc slots.  Invalid slots carry col = sentinel
     (sorted last) and val = 0.  Returns (cols, vals, rownnz, max_deg)."""
-    w = cand_c.shape[0]
     cand_c, cand_v = jax.lax.sort((cand_c, cand_v), dimension=0, num_keys=1)
-    merged = cand_v
-    for s in range(w - 2, -1, -1):
-        same = cand_c[s] == cand_c[s + 1]
-        merged = merged.at[s].add(jnp.where(same, merged[s + 1], 0.0))
+    # run totals by a segmented prefix scan (log₂ W steps — the unrolled
+    # suffix loop costs O(W) compiled ops per merge, which made the CPU
+    # fallback's XLA compiles explode for wide products)
     first = jnp.concatenate([
         jnp.ones((1, cand_c.shape[1]), bool),
         cand_c[1:] != cand_c[:-1]], axis=0)
-    keep = first & (cand_c < sentinel)
+
+    def seg_add(a, b):
+        (va, sa), (vb, sb) = a, b
+        return jnp.where(sb, vb, va + vb), sa | sb
+
+    merged, _ = jax.lax.associative_scan(seg_add, (cand_v, first), axis=0)
+    # each run's total sits at its LAST element
+    last = jnp.concatenate([cand_c[:-1] != cand_c[1:],
+                            jnp.ones((1, cand_c.shape[1]), bool)], axis=0)
+    keep = last & (cand_c < sentinel)
     pos = jnp.cumsum(keep.astype(jnp.int32), axis=0) - 1
     rownnz = jnp.sum(keep.astype(jnp.int32), axis=0)
     out_c = jnp.zeros((kc, cand_c.shape[1]), jnp.int32)
@@ -108,7 +115,9 @@ def spgemm_ell(a: ELL, b: ELL, kc: int | None = None) -> ELL:
     if a.ncols > b.nrows:
         raise ValueError(f"shape mismatch: {a.ncols} vs {b.nrows}")
     if kc is None:
-        kc = min(a.k * b.k, a.k + b.k + 8, max(b.ncols, 1))
+        # generous first guess: every overflow retry recompiles the whole
+        # K_A-stage merge chain, which is far costlier than padded slots
+        kc = min(a.k * b.k, max(2 * (a.k + b.k), 16), max(b.ncols, 1))
     while True:
         cols, vals, rownnz, max_deg = spgemm_arrays(a, b, kc)
         md = int(max_deg)

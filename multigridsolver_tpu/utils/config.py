@@ -72,6 +72,11 @@ class HierarchyConfig:
     # Coarsest-level size at which we stop coarsening and factor densely.
     max_coarse_size: int = 512
     aggregation: AggregationConfig = field(default_factory=AggregationConfig)
+    # Smoothed-aggregation prolongation (Vaněk-style, setup/smoothed.py):
+    # None = the reference's piecewise-constant P; a float ω applies one
+    # damped-Jacobi smoothing step P = (I − ωD⁻¹A)P₀ per level and builds
+    # the coarse operators by the general SpGEMM triple product.
+    smooth_p: float | None = None
 
 
 @dataclass(frozen=True)

@@ -36,10 +36,23 @@ def _strip_derived(hier: Hierarchy) -> Hierarchy:
         return dataclasses.replace(e, base_blk=None, wr=None, nsrc=None) \
             if isinstance(e, ELL) else e
 
+    def merge_overflow(a: HYB) -> HYB:
+        """Fold split-plan overflow entries back into one remainder ELL
+        (the checkpoint stores the logical operator, not the kernel
+        split; plans re-split at load)."""
+        if a.ov is None:
+            return a
+        comb = (a.ell.to_csr().to_scipy()
+                + a.ov.to_csr().to_scipy()).tocsr()
+        from ..sparse.formats import CSR
+        ell = CSR.from_scipy(comb).to_ell(dtype=a.ell.vals.dtype)
+        return dataclasses.replace(a, ell=ell, ov=None)
+
     levels = []
     for lvl in hier.levels:
         a = lvl.a
         if isinstance(a, HYB):
+            a = merge_overflow(a)
             a = dataclasses.replace(a, ell=strip_ell(a.ell), base_blk=None,
                                     wr=None, nsrc_pad=None)
         else:
@@ -50,6 +63,12 @@ def _strip_derived(hier: Hierarchy) -> Hierarchy:
 
 
 def save_hierarchy(path: str, hier: Hierarchy) -> None:
+    for lvl in hier.levels:
+        if getattr(lvl.tplan, "weighted", False):
+            raise NotImplementedError(
+                "smoothed-aggregation hierarchies carry weighted transfer "
+                "operators that the v1 checkpoint format cannot rebuild "
+                "from labels; re-run setup instead of checkpointing")
     hier = _strip_derived(hier)
     leaves, treedef = jax.tree_util.tree_flatten(hier)
     meta = {
@@ -106,8 +125,8 @@ def load_hierarchy(path: str, dtype=None) -> Hierarchy:
                 ell = ELL(cols=cols, vals=vals, rownnz=rownnz,
                           nrows=lm["nrows"], ncols=lm["ncols"])
             from ..sparse.hybrid import _attach_gather_plan
-            ell, base_blk, wr, nsrc_pad = _attach_gather_plan(ell)
-            a = HYB(dvals=dvals, ell=ell, base_blk=base_blk,
+            ell, base_blk, wr, nsrc_pad, ov = _attach_gather_plan(ell)
+            a = HYB(dvals=dvals, ell=ell, base_blk=base_blk, ov=ov,
                     offsets=tuple(lm["offsets"]),
                     nrows=lm["nrows"], ncols=lm["ncols"],
                     wr=wr, nsrc_pad=nsrc_pad)

@@ -24,15 +24,16 @@ class TestGenerators:
         ("CSky2d10", csky2d, 10, True),
         ("CSky2d20", csky2d, 20, True),
         ("CSky3d3", csky3d, 3, True),
-        ("CSky3d10", csky3d, 10, False),
-        ("CSky2d100", csky2d, 100, False),
+        ("CSky3d10", csky3d, 10, True),
+        ("CSky2d100", csky2d, 100, True),
     ])
     def test_matches_shipped(self, name, gen, n, exact):
-        """Entry-for-entry parity where the shipped file follows the
-        canonical discretisation; the remaining files mix generator
-        variants (block-edge conventions differ between files — e.g.
-        CSky2d100's first tower block edge) and are checked structurally
-        + to 0.3 relative on values."""
+        """Entry-for-entry parity (to the files' print precision) for
+        ALL six shipped files.  CSky2d100 and CSky3d10 carry legacy
+        quirks of the lost reference generator — the first-tower-edge
+        coefficient and the mid-axis-shifted slow faces — which the
+        generators reproduce behind auto-enabled flags (see
+        cli/generators.py docstrings)."""
         ref = read_mtx(reference_matrix_path(f"{name}.mtx"))
         got = gen(n)
         assert got.shape == ref.shape
