@@ -141,6 +141,11 @@ def windowed_gather_spmv(cols: jnp.ndarray, vals: jnp.ndarray,
     ntiles = npad // T
     if x.shape[0] < nsrc_pad:
         x = jnp.pad(x, (0, nsrc_pad - x.shape[0]))
+    elif x.shape[0] > nsrc_pad:
+        # padded sources can exceed the plan's window coverage (nsrc is
+        # computed from the logical ncols); the plan guarantees no window
+        # reaches past nsrc_pad, so the tail is never gathered
+        x = x[:nsrc_pad]
     xp2d = x.astype(jnp.float32).reshape(nsrc_pad // 128, 128)
     kb = _k_block(K, wr)
     kp = _round_up(K, kb)
@@ -188,6 +193,8 @@ def windowed_take(cols: jnp.ndarray, x: jnp.ndarray,
     ntiles = npad // T
     if x.shape[0] < nsrc_pad:
         x = jnp.pad(x, (0, nsrc_pad - x.shape[0]))
+    elif x.shape[0] > nsrc_pad:
+        x = x[:nsrc_pad]
     xp2d = x.reshape(nsrc_pad // 128, 128)
     kp = _k_bucket(K)
     kb = _k_block(kp, wr)
@@ -242,6 +249,8 @@ def windowed_take_rows(idx: jnp.ndarray, xs: jnp.ndarray,
     ntiles = npad // T
     if nsrc < nsrc_pad:
         xs = jnp.pad(xs, ((0, 0), (0, nsrc_pad - nsrc)))
+    elif nsrc > nsrc_pad:
+        xs = xs[:, :nsrc_pad]
     xs3 = xs.reshape(S, nsrc_pad // 128, 128)
     idx3 = idx.reshape(1, ntiles * 8, 128)
     sp = _k_bucket(S)
@@ -359,11 +368,12 @@ def anchored_base(ntiles: int, wr: int, ncols: int,
 def split_overflow_device(cols, vals, rownnz, base_blk, wr: int):
     """Split stored entries by window membership under an anchored plan.
 
-    Returns (main_cols, main_vals, ov_frac, ov_cols_sorted,
-    ov_vals_sorted, ov_rownnz, ov_kmax): the main arrays have vals = 0
-    (and cols = 0) at out-of-window slots — exactly the invariant the
-    SpMV kernel needs; the overflow entries are compacted to the top
-    slots for a small XLA-gather remainder."""
+    Returns (main_cols, main_vals, ov_frac, ov_rows_flat, ov_cols_flat,
+    ov_vals_flat, nov): the main arrays have vals = 0 (and cols = 0) at
+    out-of-window slots — exactly the invariant the SpMV kernel needs;
+    the overflow entries are globally compacted to the FRONT of flat
+    (K·npad,) arrays (a padded COO — its SpMV cost is ~14 ns · nnz_ov,
+    independent of which rows the stragglers cluster in)."""
     K, npad = cols.shape
     sl = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
     valid = sl < rownnz[None, :]
@@ -375,11 +385,10 @@ def split_overflow_device(cols, vals, rownnz, base_blk, wr: int):
     main_vals = jnp.where(inwin, vals, 0.0)
     nov = jnp.sum(over.astype(jnp.int32))
     nval = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
-    # compact overflow entries to the top slots
-    key = jnp.where(over, 0, 1).astype(jnp.int32)
-    _, ov_c, ov_v = jax.lax.sort((key, cols, vals), dimension=0,
-                                 num_keys=1, is_stable=True)
-    ov_rownnz = jnp.sum(over.astype(jnp.int32), axis=0)
-    ov_kmax = jnp.max(ov_rownnz)
-    return (main_cols, main_vals, nov / nval, ov_c, ov_v, ov_rownnz,
-            ov_kmax)
+    # global compaction: overflow entries to the front of flat arrays
+    rows = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 1)
+    key = jnp.where(over, 0, 1).astype(jnp.int32).ravel()
+    _, ov_r, ov_c, ov_v = jax.lax.sort(
+        (key, rows.ravel(), cols.ravel(), vals.ravel()), dimension=0,
+        num_keys=1, is_stable=True)
+    return main_cols, main_vals, nov / nval, ov_r, ov_c, ov_v, nov

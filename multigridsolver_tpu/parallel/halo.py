@@ -129,7 +129,7 @@ class HaloOp:
         n_local = a.npad // ndev
         w = halo_width(a)
         offsets = a.offsets
-        rest_ells = [e for e in (a.ell, a.ov) if e is not None]
+        rest_ells = [e for e in (a.ell,) if e is not None]
         has_rest = bool(rest_ells)
         fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
         bwd = [(i, (i - 1) % ndev) for i in range(ndev)]

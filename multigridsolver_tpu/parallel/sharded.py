@@ -72,20 +72,19 @@ def shard_ell(a: ELL, mesh: Mesh) -> ELL:
 
 def shard_operator(a, mesh: Mesh):
     """Row-shard a level operator (ELL or DIA+ELL hybrid)."""
-    from ..sparse.hybrid import HYB
+    from ..sparse.hybrid import HYB, merge_overflow_host
     if isinstance(a, HYB):
+        a = merge_overflow_host(a)   # split overflow doesn't shard
         ndev = mesh.devices.size
         npad = _round_up(a.npad, ndev * 8)
         dvals = jnp.pad(a.dvals, ((0, 0), (0, npad - a.npad)))
         rows2d = NamedSharding(mesh, P(None, "rows"))
         ell = shard_ell(repad_ell(a.ell, ndev * 8), mesh) \
             if a.ell is not None else None
-        ov = shard_ell(repad_ell(a.ov, ndev * 8), mesh) \
-            if a.ov is not None else None
         # the windowed-gather plan is single-chip (pallas_call is not
         # shard-aware here); sharded remainders take the XLA gather path
         return HYB(dvals=jax.device_put(dvals, rows2d), ell=ell,
-                   base_blk=None, ov=ov, offsets=a.offsets,
+                   base_blk=None, ov=None, offsets=a.offsets,
                    nrows=a.nrows, ncols=a.ncols, wr=None, nsrc_pad=None)
     return shard_ell(a, mesh)
 

@@ -35,7 +35,7 @@ from ..ops import gather_pallas as gp
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["p_cols", "p_vals", "p_base", "m_cols", "m_vals",
-                      "m_base", "m_ov_cols", "m_ov_vals"],
+                      "m_base", "m_ov_rows", "m_ov_cols", "m_ov_vals"],
          meta_fields=["p_wr", "p_nsrc", "m_wr", "m_nsrc", "npad_f",
                       "nc_pad", "weighted"])
 @dataclass
@@ -64,7 +64,9 @@ class TransferPlan:
     nc_pad: int
     weighted: bool = False
     # split-plan overflow for the restriction direction: the few member
-    # indices outside the anchored window ride an XLA gather-sum
+    # indices outside the anchored window ride an XLA scatter-gather over
+    # a compact padded COO (rows = coarse targets, cols = fine sources)
+    m_ov_rows: jnp.ndarray | None = None
     m_ov_cols: jnp.ndarray | None = None
     m_ov_vals: jnp.ndarray | None = None
 
@@ -136,7 +138,7 @@ def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
     # --- restriction members ---
     km = int(_max_agg_size(labels))
     m_base = m_wr = m_nsrc = None
-    m_ov_cols = m_ov_vals = None
+    m_ov_rows = m_ov_cols = m_ov_vals = None
     if km > 0:
         m_cols, m_vals, m_rnnz, _ = _members_ell(labels, km, nc_t)
         cmin, cmax = gp.plan_windows_device(m_cols, m_rnnz, nc_t // gp.T)
@@ -155,19 +157,19 @@ def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
                 base_np, nsrc = gp.anchored_base(nc_t // gp.T, wr, npad_f,
                                                  stretch=stretch)
                 base = jnp.asarray(base_np)
-                mc, mv, frac, ovc, ovv, ovn, ovk =                     gp.split_overflow_device(m_cols, m_vals, m_rnnz,
+                mc, mv, frac, ov_r, ov_c, ov_v, nov = \
+                    gp.split_overflow_device(m_cols, m_vals, m_rnnz,
                                              base, wr)
-                if float(frac) > 0.05:
+                if float(frac) > 0.25:
                     continue
-                k_ov = int(ovk)
                 m_cols, m_vals = mc, mv
                 m_base, m_wr, m_nsrc = base, wr, nsrc
-                if k_ov > 0:
-                    sl = jax.lax.broadcasted_iota(jnp.int32,
-                                                  (k_ov, nc_t), 0)
-                    okv = sl < ovn[None, :]
-                    m_ov_cols = jnp.where(okv, ovc[:k_ov], 0)
-                    m_ov_vals = jnp.where(okv, ovv[:k_ov], 0.0)
+                if int(nov) > 0:
+                    n_ov = _round_up(max(int(nov), 1), 1024)
+                    keep = jnp.arange(n_ov) < nov
+                    m_ov_rows = jnp.where(keep, ov_r[:n_ov], 0)
+                    m_ov_cols = jnp.where(keep, ov_c[:n_ov], 0)
+                    m_ov_vals = jnp.where(keep, ov_v[:n_ov], 0.0)
                 break
     else:
         m_cols = jnp.zeros((1, nc_t), jnp.int32)
@@ -176,7 +178,8 @@ def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
                         m_cols=m_cols, m_vals=m_vals, m_base=m_base,
                         p_wr=p_wr, p_nsrc=p_nsrc, m_wr=m_wr, m_nsrc=m_nsrc,
                         npad_f=npad_f, nc_pad=nc_pad,
-                        m_ov_cols=m_ov_cols, m_ov_vals=m_ov_vals)
+                        m_ov_rows=m_ov_rows, m_ov_cols=m_ov_cols,
+                        m_ov_vals=m_ov_vals)
 
 
 def _gather_spmv(cols, vals, x, base, wr, nsrc):
@@ -200,7 +203,7 @@ def restrict_fast(tp: TransferPlan, v: jnp.ndarray) -> jnp.ndarray:
                      tp.m_nsrc)
     if tp.m_ov_cols is not None:
         g = jnp.take(v, tp.m_ov_cols, axis=0)
-        y = y + jnp.sum(tp.m_ov_vals.astype(v.dtype) * g, axis=0)
+        y = y.at[tp.m_ov_rows].add(tp.m_ov_vals.astype(v.dtype) * g)
     return y[: tp.nc_pad]
 
 

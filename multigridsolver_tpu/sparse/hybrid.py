@@ -47,17 +47,18 @@ class HYB:
     1024-row multiple; the remainder SpMV then runs ~100x faster than
     the XLA gather.  ``base_blk`` is None when no plan exists.
 
-    ``ov``: overflow entries under a *split* plan — when a handful of
-    outlier columns (e.g. skyscraper tower boundaries after aggregation)
-    defeat the cover-everything planner, the window is anchored on each
-    tile's own rows, out-of-window entries move here (their slots in
-    ``ell`` are zeroed) and ride the XLA gather; measured ≤ 2 % of the
-    remainder nnz."""
+    ``ov``: overflow entries under a *split* plan — when outlier columns
+    (e.g. skyscraper tower boundaries after aggregation) defeat the
+    cover-everything planner, the window is anchored on each tile's own
+    rows and out-of-window entries move here (their slots in ``ell`` are
+    zeroed).  Stored as a compact padded COO triple (rows, cols, vals)
+    so the XLA scatter/gather pays ~14 ns per actual straggler, not per
+    padded slot (3-13 %% of the remainder nnz on csky3d(80))."""
 
     dvals: jnp.ndarray          # (D, n_pad) — D may be 0
     ell: ELL | None
     base_blk: jnp.ndarray | None
-    ov: ELL | None
+    ov: tuple | None            # (rows, cols, vals) padded COO
     offsets: tuple
     nrows: int
     ncols: int
@@ -166,29 +167,37 @@ def _attach_gather_plan(ell: ELL | None):
     if plan is not None and ell.k * 2 * plan[1] <= _PLAN_UNROLL_BUDGET:
         base_blk, wr, nsrc_pad = plan
         return ell, jnp.asarray(base_blk), wr, nsrc_pad, None
-    # ---- split fallback ----
+    # ---- split fallback: pick the candidate minimising the modelled
+    # SpMV cost (kernel ≈ 0.09 ns/elem · wr/16; overflow COO ≈ 14
+    # ns/straggler on the XLA path) ----
+    best = None
     for wr in (16, 32, 64, 128):
         if ell.k * 2 * wr > _PLAN_UNROLL_BUDGET:
             break
         base_np, nsrc_pad = gp.anchored_base(ntiles, wr, ell.ncols)
         base = jnp.asarray(base_np)
-        mc, mv, frac, ovc, ovv, ovn, ovk = gp.split_overflow_device(
-            ell.cols, ell.vals, ell.rownnz, base, wr)
-        if float(frac) > 0.02:
+        out = gp.split_overflow_device(ell.cols, ell.vals, ell.rownnz,
+                                       base, wr)
+        frac = float(out[2])
+        if frac > 0.25:
             continue
-        k_ov = int(ovk)
-        main = ELL(cols=mc, vals=mv, rownnz=ell.rownnz,
-                   nrows=ell.nrows, ncols=ell.ncols)
-        ov = None
-        if k_ov > 0:
-            sl = jax.lax.broadcasted_iota(jnp.int32,
-                                          (k_ov, ell.npad), 0)
-            ok = sl < ovn[None, :]
-            ov = ELL(cols=jnp.where(ok, ovc[:k_ov], 0),
-                     vals=jnp.where(ok, ovv[:k_ov], 0.0),
-                     rownnz=ovn, nrows=ell.nrows, ncols=ell.ncols)
-        return main, base, wr, nsrc_pad, ov
-    return ell, None, None, None, None
+        cost = 0.09 * (wr / 16.0) + frac * 14.0     # ns per stored elem
+        if best is None or cost < best[0]:
+            best = (cost, wr, base, nsrc_pad, out)
+    if best is None:
+        return ell, None, None, None, None
+    _, wr, base, nsrc_pad, out = best
+    mc, mv, _, ov_r, ov_c, ov_v, nov = out
+    main = ELL(cols=mc, vals=mv, rownnz=ell.rownnz,
+               nrows=ell.nrows, ncols=ell.ncols)
+    ov = None
+    if int(nov) > 0:
+        n_ov = _round_up(max(int(nov), 1), 1024)
+        keep = jnp.arange(n_ov) < nov
+        ov = (jnp.where(keep, ov_r[:n_ov], 0),
+              jnp.where(keep, ov_c[:n_ov], 0),
+              jnp.where(keep, ov_v[:n_ov], 0.0))
+    return main, base, wr, nsrc_pad, ov
 
 
 def _ell_remainder_spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
@@ -218,7 +227,9 @@ def spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
     if a.ell is not None:
         y = y + _ell_remainder_spmv(a, x)
     if a.ov is not None:
-        y = y + ell_ops.spmv(a.ov, x)[: a.npad]
+        orow, ocol, oval = a.ov
+        y = y.at[orow].add(oval.astype(y.dtype)
+                           * jnp.take(x, ocol, axis=0))
     return y
 
 
@@ -229,13 +240,17 @@ def spmv_tri(a: HYB, x: jnp.ndarray, lower: bool) -> jnp.ndarray:
     for d, o in enumerate(a.offsets):
         if (o < 0) if lower else (o > 0):
             y = y + a.dvals[d] * jnp.roll(x, -o)
-    for e in (a.ell, a.ov):
-        if e is None:
-            continue
+    if a.ell is not None:
+        e = a.ell
         ri = e.row_iota()
         mask = (e.vals != 0.0) & ((e.cols < ri) if lower else (e.cols > ri))
         g = jnp.take(x, e.cols, axis=0)
         y = y + jnp.sum(jnp.where(mask, e.vals, 0.0) * g, axis=0)[: a.npad]
+    if a.ov is not None:
+        orow, ocol, oval = a.ov
+        tri = (ocol < orow) if lower else (ocol > orow)
+        y = y.at[orow].add(jnp.where(tri, oval, 0.0).astype(y.dtype)
+                           * jnp.take(x, ocol, axis=0))
     return y
 
 
@@ -244,9 +259,12 @@ def extract_diag(a: HYB) -> jnp.ndarray:
     for i, o in enumerate(a.offsets):
         if o == 0:
             d = d + a.dvals[i]
-    for e in (a.ell, a.ov):
-        if e is not None:
-            d = d + ell_ops.extract_diag(e)[: a.npad]
+    if a.ell is not None:
+        d = d + ell_ops.extract_diag(a.ell)[: a.npad]
+    if a.ov is not None:
+        orow, ocol, oval = a.ov
+        d = d.at[orow].add(jnp.where(ocol == orow, oval, 0.0)
+                           .astype(d.dtype))
     return d
 
 
@@ -256,10 +274,13 @@ def row_sum_abs_offdiag(a: HYB) -> jnp.ndarray:
     for i, o in enumerate(a.offsets):
         if o != 0:
             s = s + jnp.abs(a.dvals[i])
-    for e in (a.ell, a.ov):
-        if e is not None:
-            s = s + ell_ops.row_sum(e, absolute=True,
-                                    skip_diag=True)[: a.npad]
+    if a.ell is not None:
+        s = s + ell_ops.row_sum(a.ell, absolute=True,
+                                skip_diag=True)[: a.npad]
+    if a.ov is not None:
+        orow, ocol, oval = a.ov
+        s = s.at[orow].add(jnp.where(ocol != orow, jnp.abs(oval), 0.0)
+                           .astype(s.dtype))
     return s
 
 
@@ -336,3 +357,22 @@ def hybrid_from_ell_device(a: ELL, max_diags: int = 48,
     return HYB(dvals=dvals, ell=ell, base_blk=base_blk, ov=ov,
                offsets=tuple(offsets), nrows=a.nrows, ncols=a.ncols,
                wr=wr, nsrc_pad=nsrc_pad)
+
+
+def merge_overflow_host(a: HYB) -> HYB:
+    """Fold split-plan overflow entries back into one remainder ELL
+    (host round-trip).  Used where the split representation cannot
+    follow — checkpointing and sharding."""
+    import dataclasses
+    if a.ov is None:
+        return a
+    import scipy.sparse as sp
+    orow, ocol, oval = (np.asarray(t) for t in a.ov)
+    n, m = a.ell.nrows, a.ell.ncols
+    ov_sp = sp.coo_matrix(
+        (oval, (np.clip(orow, 0, n - 1), np.clip(ocol, 0, m - 1))),
+        shape=(n, m)).tocsr()
+    comb = (a.ell.to_csr().to_scipy() + ov_sp).tocsr()
+    ell = CSR.from_scipy(comb).to_ell(dtype=a.ell.vals.dtype)
+    return dataclasses.replace(a, ell=ell, ov=None, base_blk=None,
+                               wr=None, nsrc_pad=None)

@@ -71,38 +71,48 @@ def _merge_rows(cand_c: jnp.ndarray, cand_v: jnp.ndarray, sentinel: int,
     return out_c, out_v, jnp.minimum(rownnz, kc), jnp.max(rownnz)
 
 
-@partial(jax.jit, static_argnames=("kc",))
+@partial(jax.jit, static_argnames=("kc", "sentinel"))
+def _spgemm_step(acc_c, acc_v, max_deg, a: ELL, b: ELL, ka, kc: int,
+                 sentinel: int):
+    """One A-slot expansion + merge.  The accumulator is pre-padded to
+    the full width ``kc`` so EVERY step shares one compiled program —
+    a single small merge instead of a K_A-stage fused chain (whose giant
+    programs have segfaulted XLA:CPU's compiler under suite load)."""
+    kb = b.k
+    j = jnp.take(a.cols, ka, axis=0)
+    av = jnp.take(a.vals, ka, axis=0)
+    valid_a = (ka < a.rownnz) & (av != 0.0)
+    cols_b = ops.take_member_rows(a, j, b.cols, a.base_blk, a.wr,
+                                  a.nsrc)                 # (K_B, n)
+    vals_b = ops.take_member_rows(
+        a, j, b.vals.astype(jnp.float32) if a.base_blk is not None
+        else b.vals, a.base_blk, a.wr, a.nsrc).astype(a.vals.dtype)
+    nnz_b = ops.take_member_rows(a, j, b.rownnz[None, :], a.base_blk,
+                                 a.wr, a.nsrc)[0]
+    slot_b = jax.lax.broadcasted_iota(jnp.int32, (kb, a.npad), 0)
+    ok = valid_a[None, :] & (slot_b < nnz_b[None, :])
+    cand_c = jnp.concatenate(
+        [acc_c, jnp.where(ok, cols_b, sentinel)], axis=0)
+    cand_v = jnp.concatenate(
+        [acc_v, jnp.where(ok, av[None, :] * vals_b, 0.0)], axis=0)
+    acc_c, acc_v, rownnz, md = _merge_rows(cand_c, cand_v, sentinel, kc)
+    acc_c = jnp.where(jax.lax.broadcasted_iota(
+        jnp.int32, acc_c.shape, 0) < rownnz[None, :], acc_c, sentinel)
+    return acc_c, acc_v, jnp.maximum(max_deg, md.astype(jnp.int32))
+
+
 def spgemm_arrays(a: ELL, b: ELL, kc: int):
     """Device SpGEMM: returns (cols, vals, rownnz, max_deg) of C = A·B
-    with slot width ``kc`` (entries beyond are dropped; check max_deg)."""
-    kb = b.k
+    with slot width ``kc`` (entries beyond are dropped; check max_deg).
+    Host-driven loop over A's slots; all steps share one jitted program
+    (no host syncs until the caller reads max_deg)."""
     sentinel = b.npad  # > any valid column index of B
-    acc_c = jnp.full((1, a.npad), sentinel, jnp.int32)
-    acc_v = jnp.zeros((1, a.npad), a.vals.dtype)
-    slot_b = jax.lax.broadcasted_iota(jnp.int32, (kb, a.npad), 0)
-    max_deg = jnp.int32(0)
+    acc_c = jnp.full((kc, a.npad), sentinel, jnp.int32)
+    acc_v = jnp.zeros((kc, a.npad), a.vals.dtype)
+    max_deg = jnp.zeros((), jnp.int32)
     for ka in range(a.k):
-        j = a.cols[ka]
-        av = a.vals[ka]
-        valid_a = (ka < a.rownnz) & (av != 0.0)
-        cols_b = ops.take_member_rows(a, j, b.cols, a.base_blk, a.wr,
-                                      a.nsrc)                 # (K_B, n)
-        vals_b = ops.take_member_rows(
-            a, j, b.vals.astype(jnp.float32) if a.base_blk is not None
-            else b.vals, a.base_blk, a.wr, a.nsrc).astype(a.vals.dtype)
-        nnz_b = ops.take_member_rows(a, j, b.rownnz[None, :], a.base_blk,
-                                     a.wr, a.nsrc)[0]
-        ok = valid_a[None, :] & (slot_b < nnz_b[None, :])
-        cand_c = jnp.concatenate(
-            [acc_c, jnp.where(ok, cols_b, sentinel)], axis=0)
-        cand_v = jnp.concatenate(
-            [acc_v, jnp.where(ok, av[None, :] * vals_b, 0.0)], axis=0)
-        kc_step = min(kc, cand_c.shape[0])
-        acc_c, acc_v, rownnz, md = _merge_rows(cand_c, cand_v, sentinel,
-                                               kc_step)
-        acc_c = jnp.where(jax.lax.broadcasted_iota(
-            jnp.int32, acc_c.shape, 0) < rownnz[None, :], acc_c, sentinel)
-        max_deg = jnp.maximum(max_deg, md.astype(jnp.int32))
+        acc_c, acc_v, max_deg = _spgemm_step(acc_c, acc_v, max_deg, a, b,
+                                             jnp.int32(ka), kc, sentinel)
     rownnz = jnp.sum((acc_c < sentinel).astype(jnp.int32), axis=0)
     cols = jnp.where(acc_c < sentinel, acc_c, 0)
     vals = jnp.where(acc_c < sentinel, acc_v, 0.0)

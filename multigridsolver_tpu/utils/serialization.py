@@ -36,17 +36,7 @@ def _strip_derived(hier: Hierarchy) -> Hierarchy:
         return dataclasses.replace(e, base_blk=None, wr=None, nsrc=None) \
             if isinstance(e, ELL) else e
 
-    def merge_overflow(a: HYB) -> HYB:
-        """Fold split-plan overflow entries back into one remainder ELL
-        (the checkpoint stores the logical operator, not the kernel
-        split; plans re-split at load)."""
-        if a.ov is None:
-            return a
-        comb = (a.ell.to_csr().to_scipy()
-                + a.ov.to_csr().to_scipy()).tocsr()
-        from ..sparse.formats import CSR
-        ell = CSR.from_scipy(comb).to_ell(dtype=a.ell.vals.dtype)
-        return dataclasses.replace(a, ell=ell, ov=None)
+    from ..sparse.hybrid import merge_overflow_host as merge_overflow
 
     levels = []
     for lvl in hier.levels:

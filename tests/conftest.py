@@ -20,6 +20,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: XLA:CPU's compiler has been seen to segfault
+# on the suite's largest programs (SpGEMM merge chains) under memory
+# pressure; cached binaries skip those compiles on every later run, and
+# the suite gets much faster too
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jaxcache_cpu_tests"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -50,7 +50,7 @@ class TestSpGEMM:
 
     def test_width_growth_on_overflow(self):
         """A deliberately low initial bound must grow, not truncate."""
-        a_sp = rand_sparse(60, 60, 0.15, 7)
+        a_sp = rand_sparse(30, 30, 0.12, 7)
         a = CSR.from_scipy(a_sp).to_ell(row_pad=8, dtype=jnp.float64)
         c = spgemm_ell(a, a, kc=2)
         ref = (a_sp @ a_sp).toarray()
