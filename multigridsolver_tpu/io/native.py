@@ -66,6 +66,9 @@ def get_lib():
                                         i64p, i64p, f64p, i64p, i64p, f64p]
         lib.mgio_cmk_order.restype = None
         lib.mgio_cmk_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+        lib.mgio_cmk_order_genuine.restype = None
+        lib.mgio_cmk_order_genuine.argtypes = [ctypes.c_int64, i64p, i64p,
+                                               i64p]
         lib.mgio_greedy_pass.restype = ctypes.c_int64
         lib.mgio_greedy_pass.argtypes = [
             ctypes.c_int64, i64p, i64p, f64p, f64p, f64p,
@@ -121,17 +124,19 @@ def coo_to_csr_native(coo: COO):
                shape=coo.shape)
 
 
-def cmk_order_native(csr) -> np.ndarray | None:
-    """BFS ("CMK") visitation order in C++; None on fallback."""
+def cmk_order_native(csr, genuine: bool = False) -> np.ndarray | None:
+    """BFS ("CMK") visitation order in C++; None on fallback.
+    ``genuine=True`` runs the full Fortran rule (min-degree start,
+    degree-sorted fronts) instead of the simplified C++ BFS."""
     lib = get_lib()
     if lib is None:
         return None
     n = csr.nrows
     indptr, indices = _i64(csr.indptr), _i64(csr.indices)
     order = np.empty(n, dtype=np.int64)
-    lib.mgio_cmk_order(n, _ptr(indptr, ctypes.c_int64),
-                       _ptr(indices, ctypes.c_int64),
-                       _ptr(order, ctypes.c_int64))
+    fn = lib.mgio_cmk_order_genuine if genuine else lib.mgio_cmk_order
+    fn(n, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
+       _ptr(order, ctypes.c_int64))
     return order
 
 

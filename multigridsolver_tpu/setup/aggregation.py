@@ -72,6 +72,57 @@ def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
     return paired, labels, packed, st.si, st.zerors
 
 
+@partial(jax.jit, static_argnames=("first_pass", "ktg", "checkdd",
+                                   "trspos", "fracnegrcsum", "max_rounds",
+                                   "symmetric", "mu_mode", "wr_m",
+                                   "nc_bound"))
+def _fused_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
+                trspos: float, fracnegrcsum: float, max_rounds: int,
+                symmetric: bool, mu_mode: str, wr_m: int, nc_bound: int):
+    """Matching + pairwise Galerkin in ONE device program — one packed
+    readback per pass instead of two (each tunnel sync costs ~35 ms and
+    the syncs dominate warm setup).
+
+    The Galerkin runs at the static bound nc_pad = npad (true nc is only
+    known after the readback; the host slices afterwards, which needs no
+    further sync).  The members gather uses anchored windows of the
+    static half-size ``wr_m`` with bases computed in-program from the
+    member min/max; a ``fits`` flag reports whether the window covered
+    every member — on overflow the host retries with 2·wr_m (rare).
+
+    Packed readback layout:
+      [nc, nnz_c, max_deg, fits, si?(no), ocmin(ntc)…, ocmax(ntc)…]
+    """
+    from .galerkin import galerkin_pair_arrays
+    st = compute_strength(a, ktg, first_pass, checkdd=checkdd,
+                          trspos=trspos, fracnegrcsum=fracnegrcsum,
+                          symmetric=symmetric, mu_mode=mu_mode)
+    paired = mutual_match(a, st, max_rounds=max_rounds)
+    labels, nc = labels_from_pairs(paired, st.excluded, a=a)
+    mem_cmin, mem_cmax = member_window_minmax(labels)
+    npad = a.npad
+    w = wr_m * 128
+    nsrc_m = ((npad + 2 * w + 127) // 128) * 128
+    max_base = max(nsrc_m // w - 2, 0)
+    ntb = nc_bound // 1024
+    base_m = jnp.clip(mem_cmin[:ntb] // w, 0, max_base)
+    fits = (jnp.all(mem_cmax[:ntb] < (base_m.astype(jnp.int64) + 2) * w)
+            & (nc <= nc_bound))
+    cols, vals, rownnz, info = galerkin_pair_arrays(
+        a, paired, labels, nc_bound, base_m, wr_m, nsrc_m)
+    packed = jnp.concatenate([
+        jnp.stack([nc.astype(jnp.int32), info[0], info[1],
+                   fits.astype(jnp.int32)]),
+        info[2:]])
+    return paired, labels, cols, vals, rownnz, packed, st.si, st.zerors
+
+
+@partial(jax.jit, static_argnames=("kc_eff", "nc_pad"))
+def _slice_coarse(cols, vals, rownnz, kc_eff: int, nc_pad: int):
+    return (cols[:kc_eff, :nc_pad], vals[:kc_eff, :nc_pad],
+            jnp.minimum(rownnz[:nc_pad], kc_eff).astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("ktg", "checkdd", "trspos",
                                    "fracnegrcsum", "max_rounds", "symmetric",
                                    "mu_mode", "km", "retries"))
@@ -177,9 +228,14 @@ def _greedy_pass(a: ELL, first_pass: bool, cfg: AggregationConfig):
     excluded = np.asarray(st.excluded)[: csr.nrows]
     si = np.asarray(st.si)[: csr.nrows]
     if first_pass:
-        order = cmk_order_native(csr)
+        genuine = cfg.cmk_mode == "genuine"
+        order = cmk_order_native(csr, genuine=genuine)
         if order is None:
-            order = cmk_order_host(csr)
+            if genuine:
+                from .matching import cmk_order_genuine_host
+                order = cmk_order_genuine_host(csr)
+            else:
+                order = cmk_order_host(csr)
     else:
         order = np.arange(csr.nrows)
     diag = np.asarray(st.diag)[: csr.nrows]
@@ -205,6 +261,55 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
     passes: list[PassInfo] = []
 
     pass1_state = {}
+
+    def run_fused(mat: ELL, first: bool):
+        """One-readback fused pass; returns (paired, labels, nc, coarse
+        ELL with plan, nnz_c) or None when the member window ladder is
+        exhausted (caller falls back to the two-program path)."""
+        from ..ops import gather_pallas as gp
+        from ..sparse.formats import plans_enabled
+        wr_m = min(128, max(16, 2 * (mat.wr or 16)))
+        # pass 1's coarse bound is free (nc ≤ n always); later passes
+        # speculate 62.5 % — pairing below ~40 % trips the fits flag and
+        # falls back to the two-program path (rare)
+        if first:
+            nc_bound = mat.npad
+        else:
+            nc_bound = min(mat.npad,
+                           ((int(0.625 * mat.npad) + 1023) // 1024) * 1024)
+        while True:
+            (paired, labels, cols, vals, rownnz, packed, si,
+             zerors) = _fused_pass(
+                mat, first, float(cfg.ktg), float(cfg.checkdd),
+                float(cfg.trspos), float(cfg.fracnegrcsum),
+                int(cfg.max_matching_rounds), bool(cfg.symmetric),
+                str(cfg.mu_mode), wr_m, nc_bound)
+            packed_np = np.asarray(packed)          # the pass's one sync
+            nc, nnz_c, max_deg, fits = (int(x) for x in packed_np[:4])
+            if fits:
+                break
+            if nc > nc_bound or wr_m >= 128:
+                return None
+            wr_m = min(128, wr_m * 2)
+        if first:
+            pass1_state["si"] = si
+            pass1_state["zerors"] = zerors
+        nc_pad = max(((nc + 1023) // 1024) * 1024, 1024)
+        kc_eff = max(max_deg, 1)
+        c, v, rn = _slice_coarse(cols, vals, rownnz, kc_eff, nc_pad)
+        ell_c = ELL(cols=c, vals=v, rownnz=rn, nrows=nc, ncols=nc)
+        ntb = nc_bound // 1024
+        ntc = nc_pad // 1024
+        if plans_enabled():
+            plan = gp.plan_from_minmax(packed_np[4:4 + ntc],
+                                       packed_np[4 + ntb:
+                                                 4 + ntb + ntc], nc)
+            if plan is not None:
+                import dataclasses
+                b, wr, nsrc = plan
+                ell_c = dataclasses.replace(
+                    ell_c, base_blk=jnp.asarray(b), wr=wr, nsrc=nsrc)
+        return paired, labels, nc, ell_c, nnz_c
 
     def run_pass(mat: ELL, first: bool, pass_no: int = 1,
                  cum_labels=None):
@@ -234,11 +339,28 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         nc, m_plan = _unpack_match(mat, np.asarray(packed))
         return paired, labels, nc, m_plan
 
+    def can_fuse(mat: ELL, pass_no: int) -> bool:
+        from ..sparse.formats import plans_enabled
+        if (cfg.matching != "mutual" or mat.npad % 1024 != 0
+                or not plans_enabled()):   # member gather rides Pallas
+            return False
+        km = 2 ** (pass_no - 1)
+        return not (cfg.check_tentagg and pass_no > 1 and km <= 8)
+
+    def one_pass(mat: ELL, first: bool, pass_no: int, cum_labels):
+        if can_fuse(mat, pass_no):
+            fused = run_fused(mat, first)
+            if fused is not None:
+                return fused
+        paired, labels, nc, m_plan = run_pass(mat, first, pass_no=pass_no,
+                                              cum_labels=cum_labels)
+        ac2, nnz2 = galerkin_pair_ell(mat, paired, labels, nc,
+                                      m_plan=m_plan)
+        return paired, labels, nc, ac2, nnz2
+
     with timer.phase("aggregation.pass1"):
-        paired, labels, nc, m_plan = run_pass(a, True)
+        paired, labels, nc, ac, nnz_c = one_pass(a, True, 1, None)
     cum_labels = labels
-    with timer.phase("aggregation.galerkin1"):
-        ac, nnz_c = galerkin_pair_ell(a, paired, labels, nc, m_plan=m_plan)
     passes.append(PassInfo(nc=nc, nnz=nnz_c))
 
     for s in range(2, cfg.npass + 1):
@@ -247,12 +369,9 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         if cfg.max_restriction and ac.nrows < cfg.max_restriction:
             break
         with timer.phase(f"aggregation.pass{s}"):
-            paired, pass_labels, nc, m_plan = run_pass(
-                ac, False, pass_no=s, cum_labels=cum_labels)
+            paired, pass_labels, nc, ac, nnz_c = one_pass(
+                ac, False, s, cum_labels)
         cum_labels = compose_labels(cum_labels, pass_labels)
-        with timer.phase(f"aggregation.galerkin{s}"):
-            ac, nnz_c = galerkin_pair_ell(ac, paired, pass_labels, nc,
-                                          m_plan=m_plan)
         passes.append(PassInfo(nc=nc, nnz=nnz_c))
 
     return AggregationResult(labels=cum_labels, nc=nc, coarse=ac,

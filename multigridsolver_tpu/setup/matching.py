@@ -257,3 +257,55 @@ def cmk_order_host(a_csr) -> np.ndarray:
                     order[cnt] = v
                     cnt += 1
     return order
+
+
+def cmk_order_genuine_host(a_csr) -> np.ndarray:
+    """Genuine Cuthill-McKee — the Fortran ground truth
+    (``dagtwolev_mex.f90:529-645``): degree-1 nodes first (index order),
+    minimum-degree start, each BFS front's new neighbours appended in
+    ascending-degree (stable) order, reducible restarts from the next
+    unnumbered node of progressively relaxed minimal degree.  The
+    reference's C++ "CMK" (AGMG.cpp:14-46) is the simplified BFS in
+    :func:`cmk_order_host`; this is the full rule.  No reversal — AGMG
+    uses plain CMK, not RCMK."""
+    n = a_csr.nrows
+    indptr, indices = a_csr.indptr, a_csr.indices
+    deg = np.diff(indptr)
+    order = np.empty(n, dtype=np.int64)
+    numbered = np.zeros(n, dtype=bool)
+    i2 = 0
+    ones = np.flatnonzero(deg <= 1)
+    order[: len(ones)] = ones
+    numbered[ones] = True
+    i2 = len(ones)
+    if i2 >= n:
+        return order
+    rest = np.flatnonzero(deg > 1)
+    jj = rest[np.argmin(deg[rest])]
+    mindg = deg[jj]
+    ijs = -1
+    while True:
+        order[i2] = jj
+        numbered[jj] = True
+        i2 += 1
+        i1 = i2 - 1
+        while i1 < i2 and i2 < n:
+            u = order[i1]
+            nbrs = indices[indptr[u]: indptr[u + 1]]
+            new = [v for v in nbrs if v != u and not numbered[v]]
+            new.sort(key=lambda v: deg[v])        # stable ascending degree
+            for v in new:
+                order[i2] = v
+                numbered[v] = True
+                i2 += 1
+            i1 += 1
+        if i2 >= n:
+            return order
+        jj = -1
+        while jj < 0:
+            ijs += 1
+            if ijs >= n:
+                mindg += 1
+                ijs = 0
+            if not numbered[ijs] and deg[ijs] == mindg:
+                jj = ijs

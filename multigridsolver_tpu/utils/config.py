@@ -57,6 +57,10 @@ class AggregationConfig:
     # Optional tentative-aggregate PSD quality re-check in the original fine
     # matrix, as in dag2l_checktentagg (f90:1052-1401).
     check_tentagg: bool = False
+    # CMK flavour for the exact-greedy parity path: "simple" = the C++
+    # reference's BFS (AGMG.cpp:14-46), "genuine" = the Fortran's full
+    # min-degree/degree-sorted rule (dagtwolev_mex.f90:529-645)
+    cmk_mode: str = "simple"
     # Pair-quality formulation: "simple" = the C++/CUDA ports' μ
     # (AGMG.cpp:92-99); "notay" = the full AGMG 3.0 δ/η/σ formulation with
     # indefinite-case safeguards (dagtwolev_mex.f90:2603-2655).

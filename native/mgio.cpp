@@ -270,4 +270,66 @@ int64_t mgio_greedy_pass(int64_t n, const int64_t *indptr,
   return nc;
 }
 
+// Genuine Cuthill-McKee per the Fortran ground truth
+// (dagtwolev_mex.f90:529-645 dag2l_setCMK): degree-1 nodes numbered
+// first in index order; start at the minimum-degree node; each BFS
+// front's newly discovered neighbours are appended sorted by ascending
+// degree (stable); reducible leftovers restart from the next unnumbered
+// node of (progressively relaxed) minimal degree.  No reversal — AGMG
+// uses plain CMK.
+void mgio_cmk_order_genuine(int64_t n, const int64_t *indptr,
+                            const int64_t *indices, int64_t *order) {
+  std::vector<int64_t> deg(n);
+  std::vector<char> numbered(n, 0);
+  int64_t i2 = 0;  // count of numbered nodes
+  int64_t mindg = n + 1, jj = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    deg[i] = indptr[i + 1] - indptr[i];
+    if (deg[i] > 1) {
+      if (deg[i] < mindg) {
+        mindg = deg[i];
+        jj = i;
+      }
+    } else {
+      order[i2++] = i;
+      numbered[i] = 1;
+    }
+  }
+  if (i2 >= n) return;
+  int64_t ijs = -1;
+  for (;;) {
+    order[i2++] = jj;
+    numbered[jj] = 1;
+    int64_t i1 = i2 - 1;
+    while (i1 < i2 && i2 < n) {
+      int64_t u = order[i1];
+      int64_t grp = i2;
+      for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
+        int64_t v = indices[k];
+        if (v != u && !numbered[v]) {
+          order[i2++] = v;
+          numbered[v] = 1;
+        }
+      }
+      std::stable_sort(order + grp, order + i2,
+                       [&](int64_t a, int64_t b) {
+                         return deg[a] < deg[b];
+                       });
+      ++i1;
+    }
+    if (i2 >= n) return;
+    // reducible: next unnumbered node of (relaxed) minimal degree,
+    // scanning cyclically exactly as the Fortran does
+    jj = -1;
+    while (jj < 0) {
+      ++ijs;
+      if (ijs >= n) {
+        ++mindg;
+        ijs = 0;
+      }
+      if (!numbered[ijs] && deg[ijs] == mindg) jj = ijs;
+    }
+  }
+}
+
 }  // extern "C"

@@ -268,3 +268,37 @@ class TestQualityHistogram:
             max_coarse_size=30, aggregation=AggregationConfig(npass=2)))
         rep = setup_report(setup)
         assert "operator complexity" in rep
+
+
+def test_fused_pass_matches_two_program_path(monkeypatch):
+    """The fused matching+Galerkin pass (one packed readback) must produce
+    the same labels and coarse operator as the two-program path — run
+    under the Pallas interpreter on CPU."""
+    import conftest
+    import jax.numpy as jnp
+    from multigridsolver_tpu.ops import gather_pallas as gp
+    from multigridsolver_tpu.setup.aggregation import pairwise_aggregate
+    from multigridsolver_tpu.utils.config import AggregationConfig
+
+    a = conftest.poisson2d_csr(40)
+    cfg = AggregationConfig(ktg=10.0, npass=2, tou=8.0)
+    ell64 = a.to_ell(dtype=jnp.float64)
+    ref = pairwise_aggregate(ell64, cfg)          # CPU two-program path
+
+    monkeypatch.setattr(gp, "INTERPRET", True)
+    gp.windowed_gather_spmv.clear_cache()
+    gp.windowed_take.clear_cache()
+    gp.windowed_take_rows.clear_cache()
+    try:
+        ell32 = a.to_ell(dtype=jnp.float64)
+        fused = pairwise_aggregate(ell32, cfg)    # fused path (interpret)
+    finally:
+        gp.windowed_gather_spmv.clear_cache()
+        gp.windowed_take.clear_cache()
+        gp.windowed_take_rows.clear_cache()
+    assert fused.nc == ref.nc
+    np.testing.assert_array_equal(np.asarray(fused.labels),
+                                  np.asarray(ref.labels))
+    np.testing.assert_allclose(
+        fused.coarse.to_csr().to_dense(), ref.coarse.to_csr().to_dense(),
+        rtol=1e-12, atol=1e-12)

@@ -204,3 +204,39 @@ class TestNativeBindings:
         ref = greedy_match_host(a, 10.0, excl, si, order)
         nat = lib.greedy_pass_native(a, diag, si, excl, order, 10.0)
         np.testing.assert_array_equal(nat, ref)
+
+
+class TestGenuineCMK:
+    def test_native_matches_python_twin(self):
+        from multigridsolver_tpu.io import native
+        from multigridsolver_tpu.setup.matching import cmk_order_genuine_host
+        if native.get_lib() is None:
+            pytest.skip("libmgio.so not built")
+        a = conftest.poisson2d_csr(17)
+        nat = native.cmk_order_native(a, genuine=True)
+        ref = cmk_order_genuine_host(a)
+        np.testing.assert_array_equal(nat, ref)
+
+    def test_properties(self):
+        """Valid permutation; starts at a minimum-degree node; every BFS
+        front ascends in degree."""
+        from multigridsolver_tpu.setup.matching import cmk_order_genuine_host
+        a = conftest.poisson2d_csr(12)
+        order = cmk_order_genuine_host(a)
+        assert sorted(order.tolist()) == list(range(a.nrows))
+        deg = np.diff(a.indptr)
+        assert deg[order[0]] == deg.min()   # corner of the grid
+
+    def test_reducible_graph(self):
+        import scipy.sparse as sp
+        from multigridsolver_tpu.setup.matching import cmk_order_genuine_host
+        from multigridsolver_tpu.io import native
+        # two disconnected path graphs
+        b1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(7, 7))
+        A = sp.block_diag([b1, b1]).tocsr()
+        csr = CSR.from_scipy(A)
+        order = cmk_order_genuine_host(csr)
+        assert sorted(order.tolist()) == list(range(14))
+        if native.get_lib() is not None:
+            np.testing.assert_array_equal(
+                native.cmk_order_native(csr, genuine=True), order)
