@@ -118,6 +118,19 @@ def main():
     log(f"[bench] solve: {solve_s:.3f}s iters={int(res.iterations)} "
         f"relres={float(res.relres):.2e} status={int(res.status)}")
 
+    # --- μ bitwise-symmetry property check ON TPU (the handshake
+    # matching requires μ(i→j) == μ(j→i) bitwise; this guards against a
+    # compiler reassociation regression on the real backend, which the
+    # CPU test suite cannot see) ---
+    from multigridsolver_tpu.setup.strength import compute_strength
+    from multigridsolver_tpu.sparse.ops import transpose_slot_field
+    st = jax.jit(compute_strength, static_argnums=(1, 2))(ell, 10.0, True)
+    mu_t, has_pair = transpose_slot_field(ell, st.mu)
+    mism = int(jnp.sum(jnp.where(
+        has_pair & st.allowed, st.mu != mu_t, False)))
+    log(f"[bench] mu bitwise symmetry on TPU: {mism} mismatches")
+    mu_sym_ok = mism == 0
+
     # --- SpMV speed-of-light probe (hybrid DIA+ELL, the solve format) ---
     # marginal-cost timing: the tunnel adds a ~35-40 ms fixed dispatch
     # overhead per host call, so per-op time must be the *difference*
@@ -198,6 +211,7 @@ def main():
         "relres": float(res.relres),
         "levels": sizes,
         "spmv_ms": spmv_s * 1e3, "spmv_gnnz_s": nnz_per_s / 1e9,
+        "mu_bitwise_symmetric_on_tpu": mu_sym_ok,
         "solve_vs_baseline": baseline_solve_s / solve_s,
     }
     with open("BENCH_DETAILS.json", "w") as f:

@@ -72,34 +72,22 @@ def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
     return paired, labels, packed, st.si, st.zerors
 
 
-@partial(jax.jit, static_argnames=("first_pass", "ktg", "checkdd",
-                                   "trspos", "fracnegrcsum", "max_rounds",
-                                   "symmetric", "mu_mode", "wr_m",
-                                   "nc_bound"))
-def _fused_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
-                trspos: float, fracnegrcsum: float, max_rounds: int,
-                symmetric: bool, mu_mode: str, wr_m: int, nc_bound: int):
-    """Matching + pairwise Galerkin in ONE device program — one packed
-    readback per pass instead of two (each tunnel sync costs ~35 ms and
-    the syncs dominate warm setup).
+@partial(jax.jit, static_argnames=("wr_m", "nc_bound"))
+def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int):
+    """Pairwise Galerkin at the static coarse bound ``nc_bound`` with
+    anchored member windows of half-size ``wr_m`` (bases computed here
+    from the member min/max; the ``fits`` flag reports coverage AND
+    nc ≤ nc_bound).  Runs as its OWN program: matching and Galerkin are
+    dispatched back-to-back without a host sync in between — fusing them
+    into one giant XLA program was observed to miscompile at csky3d(80)
+    scale (≈19 % of coarse rows silently dropped), while the split
+    programs are exact.
 
-    The Galerkin runs at the static bound nc_pad = npad (true nc is only
-    known after the readback; the host slices afterwards, which needs no
-    further sync).  The members gather uses anchored windows of the
-    static half-size ``wr_m`` with bases computed in-program from the
-    member min/max; a ``fits`` flag reports whether the window covered
-    every member — on overflow the host retries with 2·wr_m (rare).
-
-    Packed readback layout:
-      [nc, nnz_c, max_deg, fits, si?(no), ocmin(ntc)…, ocmax(ntc)…]
+    Packed layout: [nnz_c, max_deg, fits, ocmin(ntb)…, ocmax(ntb)…].
     """
     from .galerkin import galerkin_pair_arrays
-    st = compute_strength(a, ktg, first_pass, checkdd=checkdd,
-                          trspos=trspos, fracnegrcsum=fracnegrcsum,
-                          symmetric=symmetric, mu_mode=mu_mode)
-    paired = mutual_match(a, st, max_rounds=max_rounds)
-    labels, nc = labels_from_pairs(paired, st.excluded, a=a)
     mem_cmin, mem_cmax = member_window_minmax(labels)
+    nc = jnp.max(labels) + 1
     npad = a.npad
     w = wr_m * 128
     nsrc_m = ((npad + 2 * w + 127) // 128) * 128
@@ -111,10 +99,13 @@ def _fused_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
     cols, vals, rownnz, info = galerkin_pair_arrays(
         a, paired, labels, nc_bound, base_m, wr_m, nsrc_m)
     packed = jnp.concatenate([
-        jnp.stack([nc.astype(jnp.int32), info[0], info[1],
-                   fits.astype(jnp.int32)]),
-        info[2:]])
-    return paired, labels, cols, vals, rownnz, packed, st.si, st.zerors
+        jnp.stack([info[0], info[1], fits.astype(jnp.int32)]), info[2:]])
+    return cols, vals, rownnz, packed
+
+
+@jax.jit
+def _concat_packed(p1, p2):
+    return jnp.concatenate([p1, p2])
 
 
 @partial(jax.jit, static_argnames=("kc_eff", "nc_pad"))
@@ -277,15 +268,21 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         else:
             nc_bound = min(mat.npad,
                            ((int(0.625 * mat.npad) + 1023) // 1024) * 1024)
+        # matching (program 1) and bounded Galerkin (program 2) dispatch
+        # back-to-back; the pass blocks on ONE concatenated readback
+        paired, labels, packed1, si, zerors = _match_pass(
+            mat, first, float(cfg.ktg), float(cfg.checkdd),
+            float(cfg.trspos), float(cfg.fracnegrcsum),
+            int(cfg.max_matching_rounds), bool(cfg.symmetric),
+            str(cfg.mu_mode))
+        ntf = mat.npad // 1024
         while True:
-            (paired, labels, cols, vals, rownnz, packed, si,
-             zerors) = _fused_pass(
-                mat, first, float(cfg.ktg), float(cfg.checkdd),
-                float(cfg.trspos), float(cfg.fracnegrcsum),
-                int(cfg.max_matching_rounds), bool(cfg.symmetric),
-                str(cfg.mu_mode), wr_m, nc_bound)
-            packed_np = np.asarray(packed)          # the pass's one sync
-            nc, nnz_c, max_deg, fits = (int(x) for x in packed_np[:4])
+            cols, vals, rownnz, packed2 = _galerkin_bound(
+                mat, paired, labels, wr_m, nc_bound)
+            packed_np = np.asarray(_concat_packed(packed1, packed2))
+            nc = int(packed_np[0])
+            off = 1 + 2 * ntf                       # skip member minmax
+            nnz_c, max_deg, fits = (int(x) for x in packed_np[off:off + 3])
             if fits:
                 break
             if nc > nc_bound or wr_m >= 128:
@@ -301,9 +298,10 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         ntb = nc_bound // 1024
         ntc = nc_pad // 1024
         if plans_enabled():
-            plan = gp.plan_from_minmax(packed_np[4:4 + ntc],
-                                       packed_np[4 + ntb:
-                                                 4 + ntb + ntc], nc)
+            base0 = off + 3
+            plan = gp.plan_from_minmax(packed_np[base0:base0 + ntc],
+                                       packed_np[base0 + ntb:
+                                                 base0 + ntb + ntc], nc)
             if plan is not None:
                 import dataclasses
                 b, wr, nsrc = plan
@@ -340,9 +338,11 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         return paired, labels, nc, m_plan
 
     def can_fuse(mat: ELL, pass_no: int) -> bool:
+        import os
         from ..sparse.formats import plans_enabled
         if (cfg.matching != "mutual" or mat.npad % 1024 != 0
-                or not plans_enabled()):   # member gather rides Pallas
+                or not plans_enabled()     # member gather rides Pallas
+                or os.environ.get("MGS_NO_FUSED_SETUP") == "1"):
             return False
         km = 2 ** (pass_no - 1)
         return not (cfg.check_tentagg and pass_no > 1 and km <= 8)

@@ -124,11 +124,6 @@ def hybrid_from_ell(a: ELL, **kw) -> HYB:
     return hybrid_from_csr(a.to_csr(), **kw)
 
 
-# flip to route the diagonal part through the fused Pallas kernel
-# (ops/spmv_pallas.py); off: the XLA rolls measured 2.2x faster on v5e/v6e
-# (0.019 ms vs 0.043 ms at n=1M, marginal-cost timing)
-USE_PALLAS_DIA = False
-
 # route the ELL remainder through the windowed-gather Pallas kernel when a
 # window plan exists (ops/gather_pallas.py; measured ~100x vs XLA gather)
 USE_PALLAS_GATHER = True
@@ -217,13 +212,13 @@ def spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
     roll wraps around, but wrapped positions always carry dval = 0 (the
     splitter only stores in-range entries), so no edge masking is needed.
     """
-    if USE_PALLAS_DIA and a.offsets and x.dtype == jnp.float32:
-        from ..ops.spmv_pallas import dia_spmv_pallas
-        y = dia_spmv_pallas(a.dvals, x, a.offsets)
-    else:
-        y = jnp.zeros((a.npad,), dtype=x.dtype)
-        for d, o in enumerate(a.offsets):
-            y = y + a.dvals[d] * jnp.roll(x, -o)
+    # DIA part via XLA rolls: measured 2.2x FASTER than a fused Pallas
+    # window kernel on v5e/v6e (0.019 ms vs 0.043 ms at n=1M, marginal-
+    # cost timing) -- XLA pipelines the static shifts at ~1.4 TB/s
+    # effective, so there is deliberately no Pallas path here
+    y = jnp.zeros((a.npad,), dtype=x.dtype)
+    for d, o in enumerate(a.offsets):
+        y = y + a.dvals[d] * jnp.roll(x, -o)
     if a.ell is not None:
         y = y + _ell_remainder_spmv(a, x)
     if a.ov is not None:
