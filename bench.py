@@ -199,6 +199,8 @@ def main():
         sky = {"sky80_setup_s": sky_setup, "sky80_solve_1e8_s": sky_solve,
                "sky80_relres": float(relres80),
                "sky80_inner_iters": inner80, "sky80_outer": outer80,
+               # results.txt:119-121 matvf3dSky80: 7.705 s
+               "sky80_vs_baseline": round(7.705 / sky_solve, 2),
                "sky80_levels": [m.nrows for m in setup80.matrices]}
 
     details = {

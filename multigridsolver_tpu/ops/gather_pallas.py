@@ -331,6 +331,20 @@ def plan_windows_device(cols: jnp.ndarray, rownnz: jnp.ndarray,
     return cmin, cmax
 
 
+@partial(jax.jit, static_argnames=("ntiles",))
+def plan_minmax_masked(cols: jnp.ndarray, mask: jnp.ndarray, ntiles: int):
+    """Per-tile min/max column over an explicit validity mask (used where
+    slot validity is not prefix-shaped, e.g. weighted transfer arrays
+    reloaded from a checkpoint, whose invalid slots carry val = 0)."""
+    big = jnp.where(mask, cols, jnp.iinfo(jnp.int32).max)
+    small = jnp.where(mask, cols, -1)
+    K = cols.shape[0]
+    cmin = big.reshape(K, ntiles, T).min(axis=(0, 2))
+    cmax = small.reshape(K, ntiles, T).max(axis=(0, 2))
+    empty = cmax < 0
+    return jnp.where(empty, 0, cmin), jnp.where(empty, 0, cmax)
+
+
 def plan_from_minmax(cmin: np.ndarray, cmax: np.ndarray,
                      ncols: int) -> tuple[np.ndarray, int, int] | None:
     """Host-side tail of the planner given per-tile (cmin, cmax)."""

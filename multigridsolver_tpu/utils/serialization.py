@@ -24,6 +24,33 @@ from ..solve.hierarchy import Hierarchy
 _FORMAT_VERSION = 1
 
 
+def _replan_weighted(tp):
+    """Recompute the windowed-gather plans of a reloaded weighted
+    transfer (slot validity by val != 0 — junk gathered at truly-zero
+    weights multiplies by 0, so this is safe)."""
+    import dataclasses
+    from ..ops import gather_pallas as gp
+    from ..sparse.formats import plans_enabled
+    if not plans_enabled():
+        return tp
+    out = {}
+    for side, cols, vals, ncols in (
+            ("p", tp.p_cols, tp.p_vals, tp.nc_pad),
+            ("m", tp.m_cols, tp.m_vals, tp.npad_f)):
+        ntiles = cols.shape[1] // gp.T
+        if ntiles == 0 or cols.shape[1] % gp.T:
+            continue
+        cmin, cmax = gp.plan_minmax_masked(cols, vals != 0, ntiles)
+        plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax),
+                                   ncols)
+        if plan is not None:
+            b, wr, nsrc = plan
+            out[f"{side}_base"] = jnp.asarray(b)
+            out[f"{side}_wr"] = wr
+            out[f"{side}_nsrc"] = nsrc
+    return dataclasses.replace(tp, **out)
+
+
 def _strip_derived(hier: Hierarchy) -> Hierarchy:
     """Drop derived kernel plans before flattening: the windowed-gather
     plans (HYB base_blk / Level tplan) are rebuilt at load, keeping the
@@ -47,18 +74,22 @@ def _strip_derived(hier: Hierarchy) -> Hierarchy:
                                     wr=None, nsrc_pad=None)
         else:
             a = strip_ell(a)
-        levels.append(dataclasses.replace(lvl, a=a, tplan=None))
+        # unit (label-derived) transfer plans rebuild from labels at load;
+        # WEIGHTED ones (smoothed aggregation) carry real operator data —
+        # keep their arrays, strip only the derived window plans
+        tp = lvl.tplan
+        if getattr(tp, "weighted", False):
+            tp = dataclasses.replace(tp, p_base=None, m_base=None,
+                                     p_wr=None, p_nsrc=None, m_wr=None,
+                                     m_nsrc=None)
+        else:
+            tp = None
+        levels.append(dataclasses.replace(lvl, a=a, tplan=tp))
     coarse = dataclasses.replace(hier.coarse, a=strip_ell(hier.coarse.a))
     return dataclasses.replace(hier, levels=tuple(levels), coarse=coarse)
 
 
 def save_hierarchy(path: str, hier: Hierarchy) -> None:
-    for lvl in hier.levels:
-        if getattr(lvl.tplan, "weighted", False):
-            raise NotImplementedError(
-                "smoothed-aggregation hierarchies carry weighted transfer "
-                "operators that the v1 checkpoint format cannot rebuild "
-                "from labels; re-run setup instead of checkpointing")
     hier = _strip_derived(hier)
     leaves, treedef = jax.tree_util.tree_flatten(hier)
     meta = {
@@ -73,6 +104,10 @@ def save_hierarchy(path: str, hier: Hierarchy) -> None:
             {"nrows": lvl.a.nrows, "ncols": lvl.a.ncols,
              "nc_pad": lvl.nc_pad,
              "is_hybrid": hasattr(lvl.a, "offsets"),
+             "tplan_weighted": bool(getattr(lvl.tplan, "weighted", False)),
+             "tplan_m_ov": getattr(lvl.tplan, "m_ov_cols", None)
+             is not None,
+             "tplan_npad_f": getattr(lvl.tplan, "npad_f", 0),
              "offsets": list(getattr(lvl.a, "offsets", ())),
              "has_rest": getattr(lvl.a, "ell", None) is not None,
              "smoother": {
@@ -124,12 +159,25 @@ def load_hierarchy(path: str, dtype=None) -> Hierarchy:
             cols, vals, rownnz = next_n(3)
             a = ELL(cols=cols, vals=vals, rownnz=rownnz,
                     nrows=lm["nrows"], ncols=lm["ncols"])
+        from ..ops import gather_pallas as gp
         labels = next(it)
         d, lmax = next_n(2)
         sm = Smoother(d=d, lmax=lmax, **lm["smoother"])
-        from ..ops import gather_pallas as gp
         tplan = None
-        if jax.default_backend() == "tpu" or gp.INTERPRET:
+        if lm.get("tplan_weighted"):
+            from ..setup.transfers import TransferPlan
+            p_cols, p_vals, m_cols, m_vals = next_n(4)
+            ov = next_n(3) if lm.get("tplan_m_ov") else (None, None, None)
+            tplan = _replan_weighted(
+                TransferPlan(p_cols=p_cols, p_vals=p_vals, p_base=None,
+                             m_cols=m_cols, m_vals=m_vals, m_base=None,
+                             p_wr=None, p_nsrc=None, m_wr=None,
+                             m_nsrc=None, npad_f=lm["tplan_npad_f"],
+                             nc_pad=lm["nc_pad"], weighted=True,
+                             m_ov_rows=ov[0], m_ov_cols=ov[1],
+                             m_ov_vals=ov[2]))
+        if tplan is None and (jax.default_backend() == "tpu"
+                              or gp.INTERPRET):
             from ..setup.transfers import build_transfer_plan
             tplan = build_transfer_plan(jnp.asarray(labels, jnp.int32),
                                         lm["nc_pad"])

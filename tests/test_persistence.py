@@ -51,3 +51,38 @@ class TestRefinement:
         # solution is genuinely accurate in f64
         ref = np.linalg.solve(a.to_dense(), b)
         np.testing.assert_allclose(x, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_smoothed_hierarchy_roundtrip(tmp_path):
+    """Smoothed-aggregation (weighted-transfer) hierarchies checkpoint
+    and reload with identical solve behaviour."""
+    import conftest
+    import jax.numpy as jnp
+    from multigridsolver_tpu.setup.aggregation import build_amg_setup
+    from multigridsolver_tpu.solve.hierarchy import build_hierarchy
+    from multigridsolver_tpu.solve.api import solve_hierarchy
+    from multigridsolver_tpu.utils.config import (AggregationConfig,
+                                                  HierarchyConfig)
+    from multigridsolver_tpu.utils.serialization import (save_hierarchy,
+                                                         load_hierarchy)
+    a = conftest.poisson2d_csr(20)
+    s = build_amg_setup(a.to_ell(dtype=jnp.float64), HierarchyConfig(
+        max_coarse_size=32, aggregation=AggregationConfig(npass=2),
+        smooth_p=2 / 3))
+    hier = build_hierarchy(s.matrices[0], s.level_labels, s.matrices[1:],
+                           smoother_kind="chebyshev", cycle="vcycle",
+                           pre_smooth=1, post_smooth=1,
+                           p_ops=s.p_ops, pt_ops=s.pt_ops)
+    b = np.random.RandomState(0).rand(a.nrows)
+    ref = solve_hierarchy(hier, b, method="bicgstab", tol=1e-10,
+                          maxiter=100)
+    path = str(tmp_path / "smoothed.npz")
+    save_hierarchy(path, hier)
+    hier2 = load_hierarchy(path)
+    assert hier2.levels[0].tplan is not None
+    assert hier2.levels[0].tplan.weighted
+    res = solve_hierarchy(hier2, b, method="bicgstab", tol=1e-10,
+                          maxiter=100)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)
