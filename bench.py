@@ -82,10 +82,12 @@ def main():
     setup = build_amg_setup(ell, cfg)
     jax.block_until_ready(setup.matrices[-1].vals)
     setup_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    setup = build_amg_setup(ell, cfg)
-    jax.block_until_ready(setup.matrices[-1].vals)
-    setup_warm = time.perf_counter() - t0
+    setup_warm = 1e9          # best of 2 (tunnel jitter, see SpMV note)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        setup = build_amg_setup(ell, cfg)
+        jax.block_until_ready(setup.matrices[-1].vals)
+        setup_warm = min(setup_warm, time.perf_counter() - t0)
     sizes = [m.nrows for m in setup.matrices]
     log(f"[bench] setup: cold={setup_cold:.3f}s warm={setup_warm:.3f}s "
         f"levels={sizes}")
@@ -186,6 +188,12 @@ def main():
                                  kcycle_depth=3)
         jax.block_until_ready(hier80.coarse.lu)
         sky_setup = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        setup80w = build_amg_setup(ell80, HierarchyConfig(
+            max_coarse_size=512,
+            aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0)))
+        jax.block_until_ready(setup80w.matrices[-1].vals)
+        sky_setup_warm = time.perf_counter() - t0
         b80 = rs.rand(a80.nrows)
         x80, relres80, inner80, outer80 = solve_refined(
             hier80, a80, b80, tol=1e-8, inner_tol=1e-5)
@@ -196,7 +204,9 @@ def main():
         log(f"[bench] csky3d80 1e-8: setup+build={sky_setup:.2f}s "
             f"solve={sky_solve:.2f}s relres={relres80:.2e} "
             f"inner={inner80} outer={outer80}")
-        sky = {"sky80_setup_s": sky_setup, "sky80_solve_1e8_s": sky_solve,
+        sky = {"sky80_setup_s": sky_setup,
+               "sky80_setup_warm_s": sky_setup_warm,
+               "sky80_solve_1e8_s": sky_solve,
                "sky80_relres": float(relres80),
                "sky80_inner_iters": inner80, "sky80_outer": outer80,
                # results.txt:119-121 matvf3dSky80: 7.705 s
