@@ -438,3 +438,47 @@ class _nullcontext:
 
     def __exit__(self, *a):
         return False
+
+
+def refresh_setup(prev: SetupResult, a: ELL,
+                  timer: PhaseTimer | None = None) -> SetupResult:
+    """Lagged setup for matrix *sequences* (time-stepping, Newton loops):
+    reuse the aggregation — labels, level structure, window plans — from
+    a previous setup and recompute only the Galerkin coarse VALUES for a
+    new operator with the same sparsity pattern.
+
+    Production AMG packages offer exactly this reuse mode (the reference
+    has no equivalent — its setup is one-shot); on TPU it skips the
+    matching entirely, so a refresh costs a few Galerkin products instead
+    of a full multi-pass aggregation.
+
+    ``a`` must share the previous finest operator's pattern (cols and
+    rownnz are reused from it; only ``a.vals`` is read).
+    """
+    import dataclasses
+    from .galerkin import galerkin_ell
+    if prev.p_ops is not None:
+        raise NotImplementedError(
+            "refresh of smoothed-aggregation setups needs the smoothing "
+            "re-applied; run build_amg_setup instead")
+    prev_fine = prev.matrices[0]
+    if (a.cols.shape != prev_fine.cols.shape
+            or (a.nrows, a.ncols) != (prev_fine.nrows, prev_fine.ncols)):
+        raise ValueError(
+            "refresh_setup requires the previous operator's pattern "
+            f"(shape {prev_fine.cols.shape}/{prev_fine.nrows} vs "
+            f"{a.cols.shape}/{a.nrows})")
+    # keep the previous pattern + plans; take the new values
+    cur = dataclasses.replace(prev_fine, vals=a.vals)
+    mats = [cur]
+    for l, labels in enumerate(prev.level_labels):
+        nc_true = prev.matrices[l + 1].nrows
+        with (timer.phase(f"refresh.galerkin{l+1}") if timer
+              else _nullcontext()):
+            coarse = galerkin_ell(cur, jnp.asarray(labels, jnp.int32),
+                                  nc_true)
+        mats.append(coarse)
+        cur = coarse
+    return SetupResult(matrices=mats, level_labels=prev.level_labels,
+                       rounds=prev.rounds, p_ops=prev.p_ops,
+                       pt_ops=prev.pt_ops)

@@ -302,3 +302,54 @@ def test_fused_pass_matches_two_program_path(monkeypatch):
     np.testing.assert_allclose(
         fused.coarse.to_csr().to_dense(), ref.coarse.to_csr().to_dense(),
         rtol=1e-12, atol=1e-12)
+
+
+def test_refresh_setup_matches_full_rebuild():
+    """Lagged setup: refreshing with new values (same pattern) must give
+    the same coarse operators as a from-scratch Galerkin with the same
+    labels, and the refreshed hierarchy must solve the new system."""
+    import conftest
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from multigridsolver_tpu.sparse.formats import CSR
+    from multigridsolver_tpu.setup.aggregation import (build_amg_setup,
+                                                       refresh_setup)
+    from multigridsolver_tpu.setup.galerkin import galerkin_ell
+    from multigridsolver_tpu.solve.hierarchy import build_hierarchy
+    from multigridsolver_tpu.solve.api import solve_hierarchy
+    from multigridsolver_tpu.utils.config import (AggregationConfig,
+                                                  HierarchyConfig)
+
+    a0 = conftest.poisson2d_csr(24)
+    cfg = HierarchyConfig(max_coarse_size=32,
+                          aggregation=AggregationConfig(npass=2))
+    s0 = build_amg_setup(a0.to_ell(dtype=jnp.float64), cfg)
+
+    # new operator, same pattern: scaled + diagonally shifted
+    sp0 = a0.to_scipy()
+    a1_sp = (1.7 * sp0 + sp.diags(np.full(a0.nrows, 0.3))).tocsr()
+    a1_sp.sort_indices()
+    assert (a1_sp.indices == sp0.indices).all()
+    a1 = CSR.from_scipy(a1_sp).to_ell(dtype=jnp.float64)
+    s1 = refresh_setup(s0, a1)
+    assert [m.nrows for m in s1.matrices] == [m.nrows for m in s0.matrices]
+    # coarse values match a direct Galerkin with the same labels
+    ref = galerkin_ell(s1.matrices[0], jnp.asarray(s0.level_labels[0]),
+                       s0.matrices[1].nrows)
+    np.testing.assert_allclose(
+        s1.matrices[1].to_csr().to_dense(), ref.to_csr().to_dense(),
+        rtol=1e-12, atol=1e-12)
+    hier = build_hierarchy(s1.matrices[0], s1.level_labels,
+                           s1.matrices[1:], smoother_kind="chebyshev",
+                           cycle="vcycle", pre_smooth=1, post_smooth=1)
+    b = np.random.RandomState(0).rand(a0.nrows)
+    res = solve_hierarchy(hier, b, method="bicgstab", tol=1e-10,
+                          maxiter=100)
+    x = np.asarray(res.x)
+    np.testing.assert_allclose(a1_sp @ x, b, rtol=1e-8, atol=1e-8)
+
+    # pattern mismatch is rejected
+    import pytest
+    smaller = conftest.poisson2d_csr(10).to_ell(dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        refresh_setup(s0, smaller)
