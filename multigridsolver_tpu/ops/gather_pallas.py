@@ -22,8 +22,12 @@ VPU ``dynamic_gather`` op).  A general gather is composed from it:
   ``take_along_axis(bcast(win[s]), idx % 128)`` selected where
   ``idx // 128 == s`` — ``2·wr`` vreg-gathers + selects per output vreg.
 
-Measured (v5e, marginal-cost timing over chained calls): 0.07 ns/element
-vs 7 ns/element for the XLA gather — ~100×; exact (0 ULP) match.
+Measured (v5e, marginal-cost timing over chained calls): 0.09 ns/element
+at wr = 16 (scaling ~linearly in wr) vs 7 ns/element for the XLA gather —
+up to ~100×; exact (0 ULP) match.  When outlier columns defeat the exact
+planner, ``anchored_base`` + ``split_overflow_device`` provide *split
+plans*: diagonal-anchored windows plus a compact COO overflow handled by
+the XLA path (~14 ns per straggler).
 
 The same kernel serves ELL-remainder SpMV (K = slots), prolongation
 (K = 1, cols = labels) and restriction (members-ELL on coarse rows), so
@@ -43,8 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 T = 1024            # output rows per tile (one f32 vreg)
 # candidate window halves (rows of 128); the minimum is 8 because the x
 # block shape (wr, 128) must have its row count divisible by 8.  The large
-# sizes exist for restriction members-gathers (window ~ coarsening ratio ×
-# 1024); callers bound K · 2wr so the unrolled select chain stays sane
+# sizes serve restriction members-gathers (window ~ coarsening ratio x
+# 1024); the k-blocked grid bounds each kernel BODY at ~512 unrolled ops
+# regardless, so big wr costs runtime (2wr selects/vreg), not compile time
 _WRS = (8, 16, 32, 64, 128)
 
 # run the kernel through the Pallas interpreter (tests on the CPU backend)

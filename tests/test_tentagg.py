@@ -119,9 +119,7 @@ class TestCheckTentagg:
         from multigridsolver_tpu.setup.aggregation import build_amg_setup
         from multigridsolver_tpu.solve.hierarchy import build_hierarchy
         from multigridsolver_tpu.solve.api import solve_hierarchy
-        n = 32
-        A = build_case(n * n // n if False else 256, seed=3,
-                       indefinite=True)
+        A = build_case(256, seed=3, indefinite=True)
         # make it solid enough to solve: add diagonal dominance margin
         A = A + 0.5 * np.eye(A.shape[0])
         ell = CSR.from_scipy(sp.csr_matrix(A)).to_ell(row_pad=8,
