@@ -86,6 +86,15 @@ def _k_block(K: int, wr: int) -> int:
     return max(1, min(K, _BODY_BUDGET // (2 * wr)))
 
 
+def _k_block_balanced(K: int, wr: int) -> int:
+    """Smallest block size whose groups cover K with minimal padding:
+    K = 9 at kb_max = 8 gives kb = 5 (pad 10), not kb = 8 (pad 16) —
+    padded slots cost full gather work in the SpMV hot path."""
+    kb_max = max(1, _BODY_BUDGET // (2 * wr))
+    ngroups = -(-K // kb_max)
+    return -(-K // ngroups)
+
+
 def _k_bucket(K: int) -> int:
     """Round the slot count up to a power of two: levels with K = 5, 9,
     13… then share Mosaic kernel binaries (compile cost is the setup
@@ -152,7 +161,7 @@ def windowed_gather_spmv(cols: jnp.ndarray, vals: jnp.ndarray,
         # reaches past nsrc_pad, so the tail is never gathered
         x = x[:nsrc_pad]
     xp2d = x.astype(jnp.float32).reshape(nsrc_pad // 128, 128)
-    kb = _k_block(K, wr)
+    kb = _k_block_balanced(K, wr)
     kp = _round_up(K, kb)
     cols3 = cols.reshape(K, ntiles * 8, 128)
     vals3 = vals.astype(jnp.float32).reshape(K, ntiles * 8, 128)

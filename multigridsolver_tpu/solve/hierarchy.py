@@ -53,33 +53,43 @@ class Level:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["a", "lu", "piv"], meta_fields=[])
+         data_fields=["a", "lu", "piv"], meta_fields=["m"])
 @dataclass
 class CoarseSolve:
     """Dense LU of the coarsest operator (MXU-friendly; replaces the
     reference's Eigen SparseLU, main.cpp:47-48).  Padding rows carry an
-    identity block so the factorisation is well-posed."""
+    identity block so the factorisation is well-posed.
+
+    The factorisation runs at TIGHT padding ``m`` (logical size rounded
+    to 8), not the level's 1024-row device padding: the triangular
+    solves are sequential in the matrix dimension, so a 1024-wide LU
+    costs ~6x a 176-wide one per application — and the K-cycle visits
+    the coarsest level up to 2^depth times per cycle."""
 
     a: ELL
     lu: jnp.ndarray
     piv: jnp.ndarray
+    m: int
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
-        return jax.scipy.linalg.lu_solve((self.lu, self.piv), b)
+        xm = jax.scipy.linalg.lu_solve((self.lu, self.piv), b[: self.m])
+        if b.shape[0] == self.m:
+            return xm
+        return jnp.zeros_like(b).at[: self.m].set(xm)
 
 
 def make_coarse_solve(a: ELL) -> CoarseSolve:
     dense = ops.to_dense(a)
-    npad = a.npad
-    full = jnp.zeros((npad, npad), dtype=a.vals.dtype)
-    full = full.at[: a.nrows, : a.ncols].set(dense)
+    m = min(max((a.nrows + 7) // 8 * 8, 8), a.npad)
+    full = jnp.zeros((m, m), dtype=a.vals.dtype)
+    full = full.at[: a.nrows, : min(a.ncols, m)].set(
+        dense[:, : min(a.ncols, m)])
     # identity on padding (and on any empty all-zero rows, which would
     # otherwise make the factorisation singular — e.g. excluded G0 rows)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (npad, 1), 0)[:, 0]
     empty = jnp.all(full == 0.0, axis=1)
     full = full + jnp.diag(jnp.where(empty, 1.0, 0.0).astype(a.vals.dtype))
     lu, piv = jax.scipy.linalg.lu_factor(full)
-    return CoarseSolve(a=a, lu=lu, piv=piv)
+    return CoarseSolve(a=a, lu=lu, piv=piv, m=m)
 
 
 @partial(jax.tree_util.register_dataclass,

@@ -187,7 +187,7 @@ def load_hierarchy(path: str, dtype=None) -> Hierarchy:
     coarse = CoarseSolve(
         a=ELL(cols=ca_cols, vals=ca_vals, rownnz=ca_rownnz,
               nrows=meta["coarse"]["nrows"], ncols=meta["coarse"]["ncols"]),
-        lu=lu, piv=piv)
+        lu=lu, piv=piv, m=int(lu.shape[0]))
     return Hierarchy(levels=tuple(levels), coarse=coarse,
                      cycle=meta["cycle"], pre_smooth=meta["pre_smooth"],
                      post_smooth=meta["post_smooth"],
