@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sparse.formats import ELL
+from ..ops.scan import blocked_cumsum
 
 
 def galerkin_dense(a: ELL, labels: jnp.ndarray, nc_pad: int) -> jnp.ndarray:
@@ -73,7 +74,7 @@ def galerkin_ell_arrays(a: ELL, labels: jnp.ndarray, nc: int, kc: int):
     # runs of equal (row, col) = unique coarse entries
     same = (li[1:] == li[:-1]) & (lj[1:] == lj[:-1])
     newrun = jnp.concatenate([valid_s[:1], ~same & valid_s[1:]])
-    run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+    run_id = blocked_cumsum(newrun.astype(jnp.int32)) - 1
     nnz_c = jnp.sum(newrun.astype(jnp.int32))
     # segment-sum values into runs (invalid entries carry v == 0 and are
     # dumped into segment m-1, which is only a real run if *all* m entries
@@ -93,7 +94,7 @@ def galerkin_ell_arrays(a: ELL, labels: jnp.ndarray, nc: int, kc: int):
     # key-sorted, hence contiguous and column-sorted within a row)
     rownnz = jax.ops.segment_sum(run_valid.astype(jnp.int32), rows_c,
                                  num_segments=nc)
-    row_start = jnp.cumsum(rownnz) - rownnz
+    row_start = blocked_cumsum(rownnz) - rownnz
     run_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
     slot = run_idx - jnp.take(row_start, rows_c)
     in_range = run_valid & (slot < kc)
@@ -220,15 +221,20 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
         jnp.ones((1, cand_c.shape[1]), bool),
         cand_c[1:] != cand_c[:-1]], axis=0)
     keep = first & (cand_c < nc)
-    # compact kept entries to the top slots per column
+    # compact kept entries to the top slots per column.  A lane-axis
+    # scatter (.at[pos, ci].add) is pathological on TPU — measured 228 ms
+    # runtime + 11 s compile at (10, 10⁶) — whereas the one-hot
+    # select-and-sum over the small slot axis is 6 ms / 1.3 s: O(m2²·n)
+    # VPU work replaces a serialised scatter.
     pos = jnp.cumsum(keep.astype(jnp.int32), axis=0) - 1
     rownnz = jnp.sum(keep.astype(jnp.int32), axis=0)
-    out_c = jnp.zeros((m2, cand_c.shape[1]), jnp.int32)
-    out_v = jnp.zeros((m2, cand_c.shape[1]), a.vals.dtype)
-    ci = jax.lax.broadcasted_iota(jnp.int32, cand_c.shape, 1)
-    safe_pos = jnp.where(keep, pos, m2 - 1)
-    out_c = out_c.at[safe_pos, ci].add(jnp.where(keep, cand_c, 0))
-    out_v = out_v.at[safe_pos, ci].add(jnp.where(keep, merged, 0.0))
+    safe_pos = jnp.where(keep, pos, m2)
+    sel = safe_pos[None, :, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (m2, m2, cand_c.shape[1]), 0)
+    out_c = jnp.sum(jnp.where(sel, cand_c[None], 0), axis=1,
+                    dtype=jnp.int32)
+    out_v = jnp.sum(jnp.where(sel, merged[None], 0.0), axis=1,
+                    dtype=merged.dtype)
     head = jnp.stack([jnp.sum(rownnz), jnp.max(rownnz)]).astype(jnp.int32)
     # the coarse operator's own window-plan min/max per 1024-row tile
     # (identity-covered), packed into the same readback

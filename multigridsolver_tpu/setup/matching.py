@@ -152,11 +152,12 @@ def labels_from_pairs(paired: jnp.ndarray, excluded: jnp.ndarray,
     Returns (labels, nc) with labels[i] = -1 for excluded nodes and nc a
     device scalar.
     """
+    from ..ops.scan import blocked_cumsum
     npad = paired.shape[0]
     nodes = jax.lax.broadcasted_iota(jnp.int32, (npad, 1), 0)[:, 0]
     active = (paired >= 0) & ~excluded
     leader = active & (paired >= nodes)
-    agg_of_leader = jnp.cumsum(leader.astype(jnp.int32)) - 1
+    agg_of_leader = blocked_cumsum(leader.astype(jnp.int32)) - 1
     # follower takes its partner's (the leader's) aggregate id
     partner = jnp.maximum(paired, 0)
     if a is not None:

@@ -69,10 +69,15 @@ def p_csr_from_labels(labels: np.ndarray, nc: int) -> CSR:
     return COO(row=rows, col=cols, val=vals, shape=(n, nc)).to_csr()
 
 
+import jax
+
+
+@jax.jit
 def compose_labels(coarse_of_fine: jnp.ndarray,
                    coarser_of_coarse: jnp.ndarray) -> jnp.ndarray:
     """Label composition replacing P_cumm = P_cumm · P_pass SpGEMM
-    (``main.cu:255-261``): fine node → pass-s aggregate."""
+    (``main.cu:255-261``): fine node → pass-s aggregate.  Jitted: eager,
+    this was 4 separate dispatches (and 4 per-shape compiles) per pass."""
     safe = jnp.maximum(coarse_of_fine, 0)
     nxt = jnp.take(coarser_of_coarse, safe, axis=0)
     return jnp.where(coarse_of_fine >= 0, nxt, -1)

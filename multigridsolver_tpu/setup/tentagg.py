@@ -50,18 +50,25 @@ from ..sparse import ops
 def member_ranks(labels: jnp.ndarray, km: int) -> jnp.ndarray:
     """rank[i] = position of fine node i within its aggregate (0-based,
     ordered by fine index — the Fortran sorts ``set`` ascending), clipped
-    to km-1.  Excluded nodes get rank 0 (masked downstream)."""
+    to km-1.  Excluded nodes get rank 0 (masked downstream).
+
+    km rounds of scatter-min (extract the smallest remaining member per
+    aggregate) — the argsort+associative_scan formulation this replaces
+    cost ~70 s of XLA compile per level shape on TPU."""
     npad = labels.shape[0]
-    key = jnp.where(labels >= 0, labels, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key, stable=True)
-    slab = jnp.take(key, order, axis=0)
     idxs = jnp.arange(npad, dtype=jnp.int32)
-    newgrp = jnp.concatenate([jnp.ones((1,), bool), slab[1:] != slab[:-1]])
-    grp_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(newgrp, idxs, -1))
-    rank_sorted = idxs - grp_start
-    rank = jnp.zeros((npad,), jnp.int32).at[order].set(
-        jnp.minimum(rank_sorted, km - 1))
+    valid = labels >= 0
+    lab = jnp.where(valid, labels, npad).astype(jnp.int32)
+    remaining = valid
+    rank = jnp.zeros((npad,), jnp.int32)
+    for r in range(km - 1):
+        m = jnp.full((npad + 1,), npad, jnp.int32).at[lab].min(
+            jnp.where(remaining, idxs, npad))
+        taken = remaining & (jnp.take(m, lab, axis=0) == idxs)
+        rank = jnp.where(taken, r, rank)
+        remaining = remaining & ~taken
+    # everyone not extracted in the first km-1 rounds clips to km-1
+    rank = jnp.where(remaining & valid, km - 1, rank)
     return rank
 
 

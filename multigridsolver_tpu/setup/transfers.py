@@ -78,29 +78,33 @@ def _round_up(x: int, m: int) -> int:
 @partial(jax.jit, static_argnames=("km", "nc_t"))
 def _members_ell(labels: jnp.ndarray, km: int, nc_t: int):
     """Device build of the members-ELL: cols[r, c] = fine index of the
-    r-th member of aggregate c (0 beyond the aggregate size, val 0)."""
+    r-th member of aggregate c in ascending fine order (0 beyond the
+    aggregate size, val 0).
+
+    Built by km rounds of "extract the smallest remaining member per
+    aggregate" (a 1-D scatter-min + gather each) — the argsort+scan
+    formulation this replaces cost ~70 s of XLA compile per level shape
+    (argsort 11.6 s, 1-D associative_scan 55 s, 2-D lane scatter 11 s at
+    10⁶ rows), which dominated the hierarchy-build cold start."""
     npad = labels.shape[0]
-    valid = labels >= 0
-    key = jnp.where(valid, labels, nc_t)          # invalid sorts last
-    order = jnp.argsort(key, stable=True)
-    slab = jnp.take(key, order, axis=0)
     idxs = jnp.arange(npad, dtype=jnp.int32)
-    newgrp = jnp.concatenate([jnp.ones((1,), bool), slab[1:] != slab[:-1]])
-    grp_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(newgrp, idxs, -1))
-    rank = idxs - grp_start
-    ok = slab < nc_t
-    # guard-row/col scatter: invalid entries land in the trash slot
-    r_idx = jnp.where(ok, rank, km)
-    c_idx = jnp.where(ok, slab, nc_t)
-    cols = jnp.zeros((km + 1, nc_t + 1), jnp.int32)
-    cols = cols.at[r_idx, c_idx].set(order.astype(jnp.int32))
-    vals = jnp.zeros((km + 1, nc_t + 1), jnp.float32)
-    vals = vals.at[r_idx, c_idx].set(1.0)
-    rownnz = jnp.zeros((nc_t + 1,), jnp.int32).at[c_idx].add(
-        ok.astype(jnp.int32))
-    km_actual = jnp.max(jnp.where(ok, rank, -1)) + 1
-    return cols[:km, :nc_t], vals[:km, :nc_t], rownnz[:nc_t], km_actual
+    valid = labels >= 0
+    lab = jnp.where(valid, labels, nc_t).astype(jnp.int32)
+    remaining = valid
+    col_rows, val_rows = [], []
+    for _ in range(km):
+        m = jnp.full((nc_t + 1,), npad, jnp.int32).at[lab].min(
+            jnp.where(remaining, idxs, npad))
+        taken = remaining & (jnp.take(m, lab, axis=0) == idxs)
+        has = m[:nc_t] < npad
+        col_rows.append(jnp.where(has, m[:nc_t], 0))
+        val_rows.append(has.astype(jnp.float32))
+        remaining = remaining & ~taken
+    cols = jnp.stack(col_rows)
+    vals = jnp.stack(val_rows)
+    rownnz = jnp.sum(vals, axis=0).astype(jnp.int32)
+    km_actual = jnp.max(rownnz)
+    return cols, vals, rownnz, km_actual
 
 
 @jax.jit

@@ -58,14 +58,27 @@ def _merge_rows(cand_c: jnp.ndarray, cand_v: jnp.ndarray, sentinel: int,
     keep = last & (cand_c < sentinel)
     pos = jnp.cumsum(keep.astype(jnp.int32), axis=0) - 1
     rownnz = jnp.sum(keep.astype(jnp.int32), axis=0)
-    out_c = jnp.zeros((kc, cand_c.shape[1]), jnp.int32)
-    out_v = jnp.zeros((kc, cand_c.shape[1]), cand_v.dtype)
-    ci = jax.lax.broadcasted_iota(jnp.int32, cand_c.shape, 1)
+    W, n = cand_c.shape
     ok = keep & (pos < kc)
-    safe_pos = jnp.where(ok, pos, kc - 1)
-    out_c = out_c.at[safe_pos, ci].add(
-        jnp.where(ok, cand_c, 0).astype(jnp.int32))
-    out_v = out_v.at[safe_pos, ci].add(jnp.where(ok, merged, 0.0))
+    safe_pos = jnp.where(ok, pos, kc)
+    if W * kc <= 4096:
+        # one-hot select-and-sum: lane-axis scatters are serialised on TPU
+        # (measured 228 ms runtime / 11 s compile at (10, 10⁶) in the
+        # Galerkin merge); O(W·kc·n) VPU work is far cheaper
+        sel = safe_pos[None, :, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (kc, W, n), 0)
+        out_c = jnp.sum(jnp.where(sel, cand_c[None], 0), axis=1,
+                        dtype=jnp.int32)
+        out_v = jnp.sum(jnp.where(sel, merged[None], 0.0), axis=1,
+                        dtype=merged.dtype)
+    else:
+        out_c = jnp.zeros((kc + 1, n), jnp.int32)
+        out_v = jnp.zeros((kc + 1, n), cand_v.dtype)
+        ci = jax.lax.broadcasted_iota(jnp.int32, cand_c.shape, 1)
+        out_c = out_c.at[safe_pos, ci].add(
+            jnp.where(ok, cand_c, 0).astype(jnp.int32))
+        out_v = out_v.at[safe_pos, ci].add(jnp.where(ok, merged, 0.0))
+        out_c, out_v = out_c[:kc], out_v[:kc]
     # rows that overflowed kc keep their first kc slots; max_deg tells the
     # host to retry with a larger bound
     return out_c, out_v, jnp.minimum(rownnz, kc), jnp.max(rownnz)
