@@ -72,8 +72,9 @@ def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
     return paired, labels, packed, st.si, st.zerors
 
 
-@partial(jax.jit, static_argnames=("wr_m", "nc_bound"))
-def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int):
+@partial(jax.jit, static_argnames=("wr_m", "nc_bound", "wr_c"))
+def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int,
+                    wr_c: int = 0):
     """Pairwise Galerkin at the static coarse bound ``nc_bound`` with
     anchored member windows of half-size ``wr_m`` (bases computed here
     from the member min/max; the ``fits`` flag reports coverage AND
@@ -83,7 +84,14 @@ def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int):
     scale (≈19 % of coarse rows silently dropped), while the split
     programs are exact.
 
-    Packed layout: [nnz_c, max_deg, fits, ocmin(ntb)…, ocmax(ntb)…].
+    ``wr_c`` > 0 additionally derives, ON DEVICE, a windowed-gather plan
+    for the coarse operator itself (per-tile bases at static half-size
+    wr_c): this is what lets the round driver dispatch the NEXT pass on
+    the coarse matrix without a host readback.  ``plan_ok`` reports
+    whether every tile's spread fits the wr_c window.
+
+    Packed layout: [nnz_c, max_deg, fits, plan_ok, ocmin(ntb)…,
+    ocmax(ntb)…]; returns (cols, vals, rownnz, base_c, packed).
     """
     from .galerkin import galerkin_pair_arrays
     mem_cmin, mem_cmax = member_window_minmax(labels)
@@ -98,14 +106,26 @@ def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int):
             & (nc <= nc_bound))
     cols, vals, rownnz, info = galerkin_pair_arrays(
         a, paired, labels, nc_bound, base_m, wr_m, nsrc_m)
+    if wr_c > 0 and info.shape[0] > 2:
+        wc = wr_c * 128
+        nsrc_c = ((nc_bound + 2 * wc + 127) // 128) * 128
+        ocmin = info[2: 2 + ntb]
+        ocmax = info[2 + ntb: 2 + 2 * ntb]
+        base_c = jnp.clip(ocmin // wc, 0,
+                          max(nsrc_c // wc - 2, 0)).astype(jnp.int32)
+        plan_ok = jnp.all(ocmax < (base_c.astype(jnp.int64) + 2) * wc)
+    else:
+        base_c = jnp.zeros((max(ntb, 1),), jnp.int32)
+        plan_ok = jnp.asarray(False)
     packed = jnp.concatenate([
-        jnp.stack([info[0], info[1], fits.astype(jnp.int32)]), info[2:]])
-    return cols, vals, rownnz, packed
+        jnp.stack([info[0], info[1], fits.astype(jnp.int32),
+                   plan_ok.astype(jnp.int32)]), info[2:]])
+    return cols, vals, rownnz, base_c, packed
 
 
 @jax.jit
-def _concat_packed(p1, p2):
-    return jnp.concatenate([p1, p2])
+def _concat_packed(*ps):
+    return jnp.concatenate(ps)
 
 
 @partial(jax.jit, static_argnames=("kc_eff", "nc_pad"))
@@ -253,61 +273,103 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
 
     pass1_state = {}
 
-    def run_fused(mat: ELL, first: bool):
-        """One-readback fused pass; returns (paired, labels, nc, coarse
-        ELL with plan, nnz_c) or None when the member window ladder is
-        exhausted (caller falls back to the two-program path)."""
+    def _slice_with_plan(cols, vals, rownnz, nc: int, max_deg: int,
+                         ocmin: np.ndarray, ocmax: np.ndarray):
+        """Trim a bound-shaped coarse result to (kc_eff, nc_pad) and
+        attach the exact host window plan from the packed min/max."""
         from ..ops import gather_pallas as gp
         from ..sparse.formats import plans_enabled
-        wr_m = min(128, max(16, 2 * (mat.wr or 16)))
-        # pass 1's coarse bound is free (nc ≤ n always); later passes
-        # speculate 62.5 % — pairing below ~40 % trips the fits flag and
-        # falls back to the two-program path (rare)
-        if first:
-            nc_bound = mat.npad
-        else:
-            nc_bound = min(mat.npad,
-                           ((int(0.625 * mat.npad) + 1023) // 1024) * 1024)
-        # matching (program 1) and bounded Galerkin (program 2) dispatch
-        # back-to-back; the pass blocks on ONE concatenated readback
-        paired, labels, packed1, si, zerors = _match_pass(
-            mat, first, float(cfg.ktg), float(cfg.checkdd),
-            float(cfg.trspos), float(cfg.fracnegrcsum),
-            int(cfg.max_matching_rounds), bool(cfg.symmetric),
-            str(cfg.mu_mode))
-        ntf = mat.npad // 1024
-        while True:
-            cols, vals, rownnz, packed2 = _galerkin_bound(
-                mat, paired, labels, wr_m, nc_bound)
-            packed_np = np.asarray(_concat_packed(packed1, packed2))
-            nc = int(packed_np[0])
-            off = 1 + 2 * ntf                       # skip member minmax
-            nnz_c, max_deg, fits = (int(x) for x in packed_np[off:off + 3])
-            if fits:
-                break
-            if nc > nc_bound or wr_m >= 128:
-                return None
-            wr_m = min(128, wr_m * 2)
-        if first:
-            pass1_state["si"] = si
-            pass1_state["zerors"] = zerors
         nc_pad = max(((nc + 1023) // 1024) * 1024, 1024)
         kc_eff = max(max_deg, 1)
         c, v, rn = _slice_coarse(cols, vals, rownnz, kc_eff, nc_pad)
         ell_c = ELL(cols=c, vals=v, rownnz=rn, nrows=nc, ncols=nc)
-        ntb = nc_bound // 1024
         ntc = nc_pad // 1024
         if plans_enabled():
-            base0 = off + 3
-            plan = gp.plan_from_minmax(packed_np[base0:base0 + ntc],
-                                       packed_np[base0 + ntb:
-                                                 base0 + ntb + ntc], nc)
+            plan = gp.plan_from_minmax(ocmin[:ntc], ocmax[:ntc], nc)
             if plan is not None:
                 import dataclasses
                 b, wr, nsrc = plan
                 ell_c = dataclasses.replace(
                     ell_c, base_blk=jnp.asarray(b), wr=wr, nsrc=nsrc)
-        return paired, labels, nc, ell_c, nnz_c
+        return ell_c
+
+    def run_fused_round(mat: ELL):
+        """BOTH passes of an npass=2 round with ONE host readback.
+
+        Pass 2 runs speculatively on the *bound-shaped* pass-1 coarse
+        operator (nrows = npad; padding rows have rownnz = 0 and are
+        excluded by the matching) whose windowed-gather plan is derived
+        ON DEVICE by ``_galerkin_bound`` — the host never needs to see
+        pass 1's nc before dispatching pass 2.  The CUDA reference syncs
+        on scalar readbacks several times per pass (main.cu:189-214);
+        through the TPU tunnel every such sync costs ~25 ms, which
+        round-2 measurements showed dominating the whole warm setup.
+
+        Returns (labels, nc, coarse ELL, passes) or None → caller falls
+        back to the per-pass path (member/plan window overflow; rare).
+        """
+        npad = mat.npad
+        ntf = npad // 1024
+        # pass-1 coarse bound: 62.5 % of the fine rows — pairing below
+        # ~60 % of nodes trips the fits flag and falls back (rare; G0-
+        # heavy problems).  Trimming here cuts pass-2's device work vs
+        # running it at full fine shape.
+        ncb = min(npad, ((int(0.625 * npad) + 1023) // 1024) * 1024)
+        ntb = ncb // 1024
+        wr_g = min(128, max(32, 2 * (mat.wr or 16)))
+        args = (float(cfg.ktg), float(cfg.checkdd), float(cfg.trspos),
+                float(cfg.fracnegrcsum), int(cfg.max_matching_rounds),
+                bool(cfg.symmetric), str(cfg.mu_mode))
+        paired1, labels1, packed1, si, zerors = _match_pass(
+            mat, True, *args)
+        c1c, c1v, c1r, base_c1, packed2 = _galerkin_bound(
+            mat, paired1, labels1, wr_g, ncb, wr_c=wr_g)
+        wc = wr_g * 128
+        nsrc_c1 = ((ncb + 2 * wc + 127) // 128) * 128
+        c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=ncb, ncols=ncb,
+                 base_blk=base_c1, wr=wr_g, nsrc=nsrc_c1)
+        wr_g2 = min(128, 2 * wr_g)
+        paired2, labels2, packed3, _, _ = _match_pass(c1, False, *args)
+        c2c, c2v, c2r, _, packed4 = _galerkin_bound(
+            c1, paired2, labels2, wr_g2, ncb)
+        labels_r = compose_labels(labels1, labels2)
+        p = np.asarray(_concat_packed(packed1, packed2, packed3, packed4))
+        # layout: [nc1, mm(2·ntf)] [nnz1, deg1, fits1, ok1, oc1(2·ntb)]
+        #         [nc2b, mm(2·ntb)] [nnz2, deg2, fits2, ok2, oc2(2·ntb)]
+        o2 = 1 + 2 * ntf
+        o3 = o2 + 4 + 2 * ntb
+        o4 = o3 + 1 + 2 * ntb
+        nc1 = int(p[0])
+        nnz1, deg1, fits1, plan_ok1 = (int(x) for x in p[o2:o2 + 4])
+        nc2 = int(p[o3])
+        nnz2, deg2, fits2 = (int(x) for x in p[o4:o4 + 3])
+        oc1 = p[o2 + 4: o2 + 4 + 2 * ntb]
+        oc2 = p[o4 + 4: o4 + 4 + 2 * ntb]
+        if not fits1 or nc1 <= 0:
+            return None
+        exit1 = (nnz1 <= nnz0 / cfg.tou
+                 or (cfg.max_restriction and nc1 < cfg.max_restriction))
+        if exit1 or cfg.npass == 1:
+            ell1 = _slice_with_plan(c1c, c1v, c1r, nc1, deg1,
+                                    oc1[:ntb], oc1[ntb:])
+            return labels1, nc1, ell1, [PassInfo(nc=nc1, nnz=nnz1)]
+        if not plan_ok1 or not fits2 or nc2 <= 0:
+            # pass-2 gathers may have read junk (plan_ok1) or its member
+            # windows overflowed: keep the valid pass 1, redo pass 2 the
+            # per-pass way on the trimmed operator
+            ell1 = _slice_with_plan(c1c, c1v, c1r, nc1, deg1,
+                                    oc1[:ntb], oc1[ntb:])
+            paired, labels2b, nc2b, m_plan = run_pass(
+                ell1, False, pass_no=2, cum_labels=labels1)
+            ell2, nnz2b = galerkin_pair_ell(ell1, paired, labels2b, nc2b,
+                                            m_plan=m_plan)
+            labels_r2 = compose_labels(labels1, labels2b)
+            return labels_r2, nc2b, ell2, [PassInfo(nc=nc1, nnz=nnz1),
+                                           PassInfo(nc=nc2b, nnz=nnz2b)]
+        ell2 = _slice_with_plan(c2c, c2v, c2r, nc2, deg2,
+                                oc2[:ntb], oc2[ntb:])
+        return labels_r, nc2, ell2, [PassInfo(nc=nc1, nnz=nnz1),
+                                     PassInfo(nc=nc2, nnz=nnz2)]
 
     def run_pass(mat: ELL, first: bool, pass_no: int = 1,
                  cum_labels=None):
@@ -337,21 +399,24 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         nc, m_plan = _unpack_match(mat, np.asarray(packed))
         return paired, labels, nc, m_plan
 
-    def can_fuse(mat: ELL, pass_no: int) -> bool:
+    def can_fuse_round(mat: ELL) -> bool:
         import os
         from ..sparse.formats import plans_enabled
-        if (cfg.matching != "mutual" or mat.npad % 1024 != 0
-                or not plans_enabled()     # member gather rides Pallas
-                or os.environ.get("MGS_NO_FUSED_SETUP") == "1"):
-            return False
-        km = 2 ** (pass_no - 1)
-        return not (cfg.check_tentagg and pass_no > 1 and km <= 8)
+        return (cfg.matching == "mutual" and cfg.npass <= 2
+                and not cfg.check_tentagg
+                and mat.npad % 1024 == 0
+                and plans_enabled()        # gathers must ride Pallas
+                and os.environ.get("MGS_NO_FUSED_SETUP") != "1")
+
+    if can_fuse_round(a):
+        with timer.phase("aggregation.round"):
+            out = run_fused_round(a)
+        if out is not None:
+            labels_r, nc, ell, fpasses = out
+            return AggregationResult(labels=labels_r, nc=nc, coarse=ell,
+                                     passes=fpasses)
 
     def one_pass(mat: ELL, first: bool, pass_no: int, cum_labels):
-        if can_fuse(mat, pass_no):
-            fused = run_fused(mat, first)
-            if fused is not None:
-                return fused
         paired, labels, nc, m_plan = run_pass(mat, first, pass_no=pass_no,
                                               cum_labels=cum_labels)
         ac2, nnz2 = galerkin_pair_ell(mat, paired, labels, nc,
@@ -378,6 +443,159 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                              passes=passes)
 
 
+# ---------------------------------------------------------------------------
+# Fixed-shape speculative tail: once a level fits _TAIL_NPAD rows, every
+# remaining round runs at ONE static shape (_TAIL_K, _TAIL_NPAD) with
+# window half-size _TAIL_WR.  All rounds therefore share a single set of
+# compiled programs (match / galerkin / k-slice / compose) — across levels
+# AND across matrices — and the host dispatches several speculative rounds
+# before ONE readback decides which levels are real.  This removes both
+# the ~25 ms-per-readback tunnel latency and the per-level-shape XLA
+# compiles that dominated the round-2 cold start (the CUDA reference syncs
+# per pass, main.cu:189-214; nvcc compiles offline so it never felt this).
+# ---------------------------------------------------------------------------
+
+_TAIL_NPAD = 32768
+_TAIL_K = 32
+_TAIL_WR = 32
+_TAIL_W = _TAIL_WR * 128
+_TAIL_NSRC = _TAIL_NPAD + 2 * _TAIL_W
+
+
+@partial(jax.jit, static_argnames=("k_in",))
+def _tail_pad(cols, vals, rownnz, k_in: int):
+    """Pad an entry operator to the tail shape (_TAIL_K, _TAIL_NPAD)."""
+    k, npad = cols.shape
+    cols = jnp.pad(cols, ((0, _TAIL_K - k), (0, _TAIL_NPAD - npad)))
+    vals = jnp.pad(vals, ((0, _TAIL_K - k), (0, _TAIL_NPAD - npad)))
+    rownnz = jnp.pad(rownnz, (0, _TAIL_NPAD - npad))
+    return cols, vals, rownnz
+
+
+@jax.jit
+def _tail_kslice(cols, vals, rownnz):
+    """Trim a (2·_TAIL_K, _TAIL_NPAD) bound Galerkin result back to the
+    tail slot count (entries are slot-compacted, so this only drops rows
+    deeper than _TAIL_K — flagged via max_deg in the packed readback)."""
+    return (cols[:_TAIL_K], vals[:_TAIL_K],
+            jnp.minimum(rownnz, _TAIL_K).astype(jnp.int32))
+
+
+def _tail_enter(ell: ELL):
+    """Normalise an operator to the tail shape, rebasing its window plan
+    to _TAIL_WR on host (tiny arrays).  None → not tail-eligible."""
+    if (ell.base_blk is None or ell.wr is None or ell.wr > _TAIL_WR
+            or ell.npad > _TAIL_NPAD or ell.k > _TAIL_K):
+        return None
+    cols, vals, rownnz = _tail_pad(ell.cols, ell.vals, ell.rownnz, ell.k)
+    base = np.zeros((_TAIL_NPAD // 1024,), np.int32)
+    # a wr ≤ 32 window [b·w, b·w + 2w) is always covered by the _TAIL_WR
+    # window starting at floor(b·w / W) (2w ≤ W + w ≤ 2W)
+    old = np.asarray(ell.base_blk) * (ell.wr * 128) // _TAIL_W
+    base[: old.shape[0]] = old
+    return ELL(cols=cols, vals=vals, rownnz=rownnz, nrows=_TAIL_NPAD,
+               ncols=_TAIL_NPAD, base_blk=jnp.asarray(base), wr=_TAIL_WR,
+               nsrc=_TAIL_NSRC)
+
+
+def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
+                max_rounds: int, max_coarse_size: int):
+    """Run up to ``max_rounds`` speculative fused rounds at the tail shape
+    with a single readback.
+
+    Returns a list of (labels, nc, ell, passes) per ACCEPTED level —
+    empty if even the first round failed its window/degree checks (caller
+    falls back to the per-round path).  The last accepted level either
+    satisfies ``nc ≤ max_coarse_size``/tou/no-progress, or the caller
+    re-enters (under-speculation).
+    """
+    args = (float(cfg.ktg), float(cfg.checkdd), float(cfg.trspos),
+            float(cfg.fracnegrcsum), int(cfg.max_matching_rounds),
+            bool(cfg.symmetric), str(cfg.mu_mode))
+    nt = _TAIL_NPAD // 1024
+
+    est = mat.nrows
+    n_disp = 0
+    chain = []            # per round: device handles
+    packeds = []
+    cur = mat
+    while n_disp < max_rounds and (est > max_coarse_size or n_disp == 0):
+        paired1, labels1, packed1, _, _ = _match_pass(cur, True, *args)
+        c1c, c1v, c1r, base1, packed2 = _galerkin_bound(
+            cur, paired1, labels1, _TAIL_WR, _TAIL_NPAD, wr_c=_TAIL_WR)
+        c1c, c1v, c1r = _tail_kslice(c1c, c1v, c1r)
+        c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=_TAIL_NPAD,
+                 ncols=_TAIL_NPAD, base_blk=base1, wr=_TAIL_WR,
+                 nsrc=_TAIL_NSRC)
+        paired2, labels2, packed3, _, _ = _match_pass(c1, False, *args)
+        c2c, c2v, c2r, base2, packed4 = _galerkin_bound(
+            c1, paired2, labels2, _TAIL_WR, _TAIL_NPAD, wr_c=_TAIL_WR)
+        c2c, c2v, c2r = _tail_kslice(c2c, c2v, c2r)
+        c2 = ELL(cols=c2c, vals=c2v, rownnz=c2r, nrows=_TAIL_NPAD,
+                 ncols=_TAIL_NPAD, base_blk=base2, wr=_TAIL_WR,
+                 nsrc=_TAIL_NSRC)
+        labels_r = compose_labels(labels1, labels2)
+        chain.append(dict(labels1=labels1, labels_r=labels_r, c1=c1, c2=c2))
+        packeds += [packed1, packed2, packed3, packed4]
+        cur = c2
+        est = max(int(est * 0.35), 1)
+        n_disp += 1
+
+    p = np.asarray(_concat_packed(*packeds))    # THE tail readback
+    # per-round packed layout (all tiles counts == nt):
+    # [nc1, mm(2nt)] [nnz1, deg1, fits1, ok1, oc1(2nt)]
+    # [nc2, mm(2nt)] [nnz2, deg2, fits2, ok2, oc2(2nt)]
+    stride = (1 + 2 * nt) * 2 + (4 + 2 * nt) * 2
+    out = []
+    prev_n, prev_nnz = mat.nrows, nnz_in
+    for r, ch in enumerate(chain):
+        o1 = r * stride
+        o2 = o1 + 1 + 2 * nt
+        o3 = o2 + 4 + 2 * nt
+        o4 = o3 + 1 + 2 * nt
+        nc1 = int(p[o1])
+        nnz1, deg1, fits1, ok1 = (int(x) for x in p[o2:o2 + 4])
+        nc2 = int(p[o3])
+        nnz2, deg2, fits2, ok2 = (int(x) for x in p[o4:o4 + 4])
+        oc1 = p[o2 + 4: o2 + 4 + 2 * nt]
+        oc2 = p[o4 + 4: o4 + 4 + 2 * nt]
+
+        def finish(ell_b: ELL, nc: int, oc) -> ELL:
+            import dataclasses
+            from ..ops import gather_pallas as gp
+            e = dataclasses.replace(ell_b, nrows=nc, ncols=nc)
+            plan = gp.plan_from_minmax(oc[:nt], oc[nt:], nc)
+            if plan is not None:
+                b, wr, nsrc = plan
+                e = dataclasses.replace(e, base_blk=jnp.asarray(b), wr=wr,
+                                        nsrc=nsrc)
+            return e
+
+        if not fits1 or not ok1 or deg1 > _TAIL_K or nc1 <= 0 \
+                or nc1 >= prev_n:
+            break                       # invalid round: keep the prefix
+        exit1 = (nnz1 <= nnz_in / cfg.tou
+                 or (cfg.max_restriction and nc1 < cfg.max_restriction))
+        if exit1 or cfg.npass == 1:
+            out.append((ch["labels1"], nc1, finish(ch["c1"], nc1, oc1),
+                        [PassInfo(nc=nc1, nnz=nnz1)]))
+            return out
+        if not fits2 or not ok2 or deg2 > _TAIL_K or nc2 <= 0 \
+                or nc2 >= prev_n:
+            # pass 2 invalid but pass 1 is a complete valid level
+            out.append((ch["labels1"], nc1, finish(ch["c1"], nc1, oc1),
+                        [PassInfo(nc=nc1, nnz=nnz1)]))
+            return out
+        out.append((ch["labels_r"], nc2, finish(ch["c2"], nc2, oc2),
+                    [PassInfo(nc=nc1, nnz=nnz1),
+                     PassInfo(nc=nc2, nnz=nnz2)]))
+        if nc2 <= max_coarse_size:
+            return out
+        prev_n = nc2
+        nnz_in = nnz2
+    return out
+
+
 @dataclass
 class SetupResult:
     """Full multilevel setup output: per-level labels and operators.
@@ -393,6 +611,16 @@ class SetupResult:
     pt_ops: list[ELL] | None = None
 
 
+def _tail_eligible(cfg: HierarchyConfig) -> bool:
+    import os
+    from ..sparse.formats import plans_enabled
+    agg = cfg.aggregation
+    return (cfg.smooth_p is None and agg.matching == "mutual"
+            and agg.npass == 2 and not agg.check_tentagg
+            and plans_enabled()
+            and os.environ.get("MGS_NO_FUSED_SETUP") != "1")
+
+
 def build_amg_setup(a: ELL, cfg: HierarchyConfig,
                     timer: PhaseTimer | None = None) -> SetupResult:
     """Coarsen until the coarsest level fits a dense direct solve."""
@@ -403,9 +631,28 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
     pt_ops: list[ELL] = []
     cur = a
     cur_nnz = None
+    tail_ok = _tail_eligible(cfg)
+    _timer = timer or PhaseTimer(enabled=False)
     for _ in range(cfg.max_levels - 1):
         if cur.nrows <= cfg.max_coarse_size:
             break
+        if tail_ok and len(mats) < cfg.max_levels:
+            tmat = _tail_enter(cur)
+            if tmat is not None:
+                nnz_in = cur_nnz if cur_nnz is not None else cur.nnz
+                budget = min(cfg.max_levels - len(mats), 8)
+                with _timer.phase("aggregation.tail"):
+                    got = tail_rounds(tmat, cfg.aggregation, nnz_in,
+                                      budget, cfg.max_coarse_size)
+                if got:
+                    for (lab, nc, ell_l, ps) in got:
+                        labels.append(lab)
+                        mats.append(ell_l)
+                        rounds.append(AggregationResult(
+                            labels=lab, nc=nc, coarse=ell_l, passes=ps))
+                        cur = ell_l
+                    cur_nnz = got[-1][3][-1].nnz
+                    continue
         res = pairwise_aggregate(cur, cfg.aggregation, timer=timer,
                                  nnz0=cur_nnz)
         if res.nc == 0 or res.nc >= cur.nrows:

@@ -257,23 +257,49 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
 
 
 def member_window_minmax(labels: jnp.ndarray):
-    """Per-coarse-1024-tile min/max *fine member index* — the members
-    window plan input for the next Galerkin (run inside the matching pass
-    so it shares that pass's readback).  Uses the fine tile count as the
-    bound on coarse tiles; empty tiles report (0, 0)."""
+    """Per-coarse-1024-tile [cmin, cmax] COVER of the fine member indices —
+    the members window plan input for the next Galerkin (run inside the
+    matching pass so it shares that pass's readback).  Uses the fine tile
+    count as the bound on coarse tiles; empty tiles report (0, 0).
+
+    Scatter-free tile-granular formulation: a direct per-member scatter
+    (.at[label // 1024].min/max over npad nodes) costs ~12 ms each at 10⁶
+    rows (TPU scatters are serialised).  Instead, reduce each FINE tile's
+    label range (reshape min/max — pure VPU), deposit fine-tile ids at the
+    coarse tiles those ranges touch (a scatter over ntiles ≈ 10³ elements,
+    microseconds), and fill with prefix scans.  The result covers at
+    fine-TILE granularity — up to 1024 rows looser per side than the exact
+    minmax, which only means the window planner picks the next wr up.
+    """
     npad = labels.shape[0]
     if npad % 1024 != 0:
         z = jnp.zeros((0,), jnp.int32)
         return z, z
-    ntiles = npad // 1024
-    nodes = jnp.arange(npad, dtype=jnp.int32)
-    tile = jnp.where(labels >= 0, labels // 1024, ntiles)
-    cmin = jnp.full((ntiles + 1,), jnp.iinfo(jnp.int32).max,
-                    jnp.int32).at[tile].min(nodes)
-    cmax = jnp.full((ntiles + 1,), -1, jnp.int32).at[tile].max(nodes)
-    empty = cmax[:ntiles] < 0
-    return (jnp.where(empty, 0, cmin[:ntiles]),
-            jnp.where(empty, 0, cmax[:ntiles]))
+    nt = npad // 1024
+    lab2 = labels.reshape(nt, 1024)
+    valid = lab2 >= 0
+    big = jnp.iinfo(jnp.int32).max
+    lmin = jnp.min(jnp.where(valid, lab2, big), axis=1)      # (nt,)
+    lmax = jnp.max(jnp.where(valid, lab2, -1), axis=1)
+    has = lmax >= 0
+    ct_lo = jnp.where(has, lmin // 1024, nt)                 # deposit slots
+    ct_hi = jnp.where(has, lmax // 1024, nt)
+    ft = jnp.arange(nt, dtype=jnp.int32)
+    # ft_last[ct] = max fine tile whose range starts at or before ct
+    dep_last = jnp.full((nt + 1,), -1, jnp.int32).at[ct_lo].max(
+        jnp.where(has, ft, -1))[:nt]
+    ft_last = jax.lax.associative_scan(jnp.maximum, dep_last)
+    # ft_first[ct] = min fine tile whose range ends at or after ct
+    dep_first = jnp.full((nt + 1,), nt, jnp.int32).at[ct_hi].min(
+        jnp.where(has, ft, nt))[:nt]
+    ft_first = jax.lax.associative_scan(jnp.minimum, dep_first,
+                                        reverse=True)
+    nc_max = jnp.max(jnp.where(valid, lab2, -1))
+    ct = jnp.arange(nt, dtype=jnp.int32)
+    occupied = (ct <= nc_max // 1024) & (ft_first <= ft_last)
+    cmin = jnp.where(occupied, ft_first * 1024, 0)
+    cmax = jnp.where(occupied, ft_last * 1024 + 1023, 0)
+    return cmin, cmax
 
 
 def galerkin_pair_ell(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,

@@ -180,7 +180,12 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
         si = -ops.row_sum(a, skip_diag=True)
     else:
         si = si_vector(a)
-    rowmask = a.row_mask()
+    # "real row" = inside the logical extent AND stores at least one entry
+    # (always true for real rows — the diagonal is stored; padding rows
+    # store none).  The nnz term matters for bound-shaped operators whose
+    # static nrows exceeds the true row count (the fused/tail setup paths):
+    # the zerors denominator must count true rows only.
+    rowmask = a.row_mask() & (a.rownnz > 0)
     zerors = jnp.asarray(False)
     if first_pass:
         if symmetric:

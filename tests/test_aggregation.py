@@ -353,3 +353,44 @@ def test_refresh_setup_matches_full_rebuild():
     smaller = conftest.poisson2d_csr(10).to_ell(dtype=jnp.float64)
     with pytest.raises(ValueError):
         refresh_setup(s0, smaller)
+
+
+def test_tail_path_matches_per_round(monkeypatch):
+    """The fixed-shape speculative tail (one readback for all coarse
+    rounds) must produce the same level sizes, labels and coarse
+    operators as the per-round path — run under the Pallas interpreter."""
+    import conftest
+    import jax.numpy as jnp
+    from multigridsolver_tpu.ops import gather_pallas as gp
+    from multigridsolver_tpu.setup.aggregation import build_amg_setup
+    from multigridsolver_tpu.utils.config import (AggregationConfig,
+                                                  HierarchyConfig)
+
+    a = conftest.poisson2d_csr(60)              # 3600 rows -> tail-entry
+    cfg = HierarchyConfig(max_coarse_size=64, aggregation=AggregationConfig(
+        ktg=10.0, npass=2, tou=8.0))
+    monkeypatch.setenv("MGS_NO_FUSED_SETUP", "1")
+    ref = build_amg_setup(a.to_ell(dtype=jnp.float64), cfg)
+    monkeypatch.delenv("MGS_NO_FUSED_SETUP")
+
+    monkeypatch.setattr(gp, "INTERPRET", True)
+    gp.windowed_gather_spmv.clear_cache()
+    gp.windowed_take.clear_cache()
+    gp.windowed_take_rows.clear_cache()
+    try:
+        tail = build_amg_setup(a.to_ell(dtype=jnp.float64), cfg)
+    finally:
+        gp.windowed_gather_spmv.clear_cache()
+        gp.windowed_take.clear_cache()
+        gp.windowed_take_rows.clear_cache()
+    assert [m.nrows for m in tail.matrices] == \
+        [m.nrows for m in ref.matrices]
+    for lt, lr, mref in zip(tail.level_labels, ref.level_labels,
+                            ref.matrices[:-1]):
+        n = mref.nrows
+        np.testing.assert_array_equal(np.asarray(lt)[:n],
+                                      np.asarray(lr)[:n])
+    for mt, mr in zip(tail.matrices[1:], ref.matrices[1:]):
+        np.testing.assert_allclose(mt.to_csr().to_dense(),
+                                   mr.to_csr().to_dense(),
+                                   rtol=1e-12, atol=1e-12)

@@ -70,8 +70,8 @@ def galerkin_bound(*a, **kw):
     return out
 
 
-def concat_packed(p1, p2):
-    out = orig_concat(p1, p2)
+def concat_packed(*ps):
+    out = orig_concat(*ps)
     t0 = time.perf_counter()
     np.asarray(out)
     record("readback_sync", t0)
