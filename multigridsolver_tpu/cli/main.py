@@ -173,7 +173,8 @@ def build_parser():
     s.add_argument("--maxiter", type=int, default=10000)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--smoother", default="gs2",
-                   choices=["jacobi", "l1jacobi", "chebyshev", "gs2"])
+                   choices=["jacobi", "l1jacobi", "chebyshev", "gs2",
+                            "ilu0"])
     s.add_argument("--multilevel", action="store_true")
     s.add_argument("--check-tentagg", action="store_true",
                    help="PSD re-check of tentative aggregate merges")

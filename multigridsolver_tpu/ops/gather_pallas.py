@@ -373,14 +373,15 @@ def plan_from_minmax(cmin: np.ndarray, cmax: np.ndarray,
 
 
 def anchored_base(ntiles: int, wr: int, ncols: int,
-                  stretch: float = 1.0) -> np.ndarray:
+                  stretch: float = 1.0) -> tuple[np.ndarray, int]:
     """Diagonal-anchored window bases: tile t's window is centred on
     ``stretch ×`` its own row range.  ``stretch`` maps between index
     spaces (1 for square operators; the fine/coarse ratio for member
     gathers, whose sources live near coarse_index × ratio).  Used by the
     split planner when a handful of outlier columns defeat the exact
     (cover-everything) planner — e.g. skyscraper tower boundaries after
-    aggregation."""
+    aggregation.  Returns ``(base, nsrc_pad)`` — the per-tile window
+    bases plus the padded source length the windows index into."""
     w = wr * 128
     nsrc_pad = _round_up(max(ncols, 2 * w, 128), 128)
     max_base = max(nsrc_pad // w - 2, 0)

@@ -55,20 +55,27 @@ class AggregationResult:
 
 @partial(jax.jit, static_argnames=("first_pass", "ktg", "checkdd", "trspos",
                                    "fracnegrcsum", "max_rounds", "symmetric",
-                                   "mu_mode"))
+                                   "mu_mode", "skipass_frac"))
 def _match_pass(a: ELL, first_pass: bool, ktg: float, checkdd: float,
                 trspos: float, fracnegrcsum: float, max_rounds: int,
-                symmetric: bool = False, mu_mode: str = "simple"):
+                symmetric: bool = False, mu_mode: str = "simple",
+                skipass_frac: float = 0.0):
     st = compute_strength(a, ktg, first_pass, checkdd=checkdd,
                           trspos=trspos, fracnegrcsum=fracnegrcsum,
                           symmetric=symmetric, mu_mode=mu_mode)
-    paired = mutual_match(a, st, max_rounds=max_rounds)
+    sk = skipass_frac if first_pass else 0.0
+    paired = mutual_match(a, st, max_rounds=max_rounds, skipass_frac=sk)
     labels, nc = labels_from_pairs(paired, st.excluded, a=a)
     # pack nc together with the members-plan min/max so the host learns
     # everything it needs from ONE readback (~35 ms per tunnel sync)
     mem_cmin, mem_cmax = member_window_minmax(labels)
-    packed = jnp.concatenate([nc[None].astype(jnp.int32),
-                              mem_cmin, mem_cmax])
+    parts = [nc[None].astype(jnp.int32), mem_cmin, mem_cmax]
+    if sk > 0.0:
+        # did skipass fire? (all non-excluded nodes are singletons)
+        nodes = jnp.arange(a.npad, dtype=jnp.int32)
+        skipped = jnp.all((paired < 0) | (paired == nodes))
+        parts.append(skipped.astype(jnp.int32)[None])
+    packed = jnp.concatenate(parts)
     return paired, labels, packed, st.si, st.zerors
 
 
@@ -392,11 +399,15 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                 mat, first, float(cfg.ktg), float(cfg.checkdd),
                 float(cfg.trspos), float(cfg.fracnegrcsum),
                 int(cfg.max_matching_rounds), bool(cfg.symmetric),
-                str(cfg.mu_mode))
+                str(cfg.mu_mode), skipass_frac=float(cfg.skipass_frac))
             if first:
                 pass1_state["si"] = si
                 pass1_state["zerors"] = zerors
-        nc, m_plan = _unpack_match(mat, np.asarray(packed))
+        packed_np = np.asarray(packed)
+        if first and cfg.skipass_frac > 0.0:
+            pass1_state["skipped"] = bool(packed_np[-1])
+            packed_np = packed_np[:-1]
+        nc, m_plan = _unpack_match(mat, packed_np)
         return paired, labels, nc, m_plan
 
     def can_fuse_round(mat: ELL) -> bool:
@@ -404,6 +415,7 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         from ..sparse.formats import plans_enabled
         return (cfg.matching == "mutual" and cfg.npass <= 2
                 and not cfg.check_tentagg
+                and cfg.skipass_frac == 0.0
                 and mat.npad % 1024 == 0
                 and plans_enabled()        # gathers must ride Pallas
                 and os.environ.get("MGS_NO_FUSED_SETUP") != "1")
@@ -428,7 +440,10 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
     cum_labels = labels
     passes.append(PassInfo(nc=nc, nnz=nnz_c))
 
-    for s in range(2, cfg.npass + 1):
+    # Fortran compensation: when skipass fired (first pass skipped because
+    # DD exclusion alone coarsens enough), run ONE extra pass (f90:319)
+    npass_eff = cfg.npass + (1 if pass1_state.get("skipped") else 0)
+    for s in range(2, npass_eff + 1):
         if nnz_c <= nnz0 / cfg.tou:
             break
         if cfg.max_restriction and ac.nrows < cfg.max_restriction:
@@ -617,6 +632,7 @@ def _tail_eligible(cfg: HierarchyConfig) -> bool:
     agg = cfg.aggregation
     return (cfg.smooth_p is None and agg.matching == "mutual"
             and agg.npass == 2 and not agg.check_tentagg
+            and agg.skipass_frac == 0.0
             and plans_enabled()
             and os.environ.get("MGS_NO_FUSED_SETUP") != "1")
 

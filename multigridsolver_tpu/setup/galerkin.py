@@ -179,7 +179,7 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     real = leader_of >= 0
     safe_leader = jnp.maximum(leader_of, 0)
     partner_of = ell_ops.take_member_rows(
-        a, safe_leader, paired[None, :], m_base, m_wr, m_nsrc)[0]
+        safe_leader, paired[None, :], m_base, m_wr, m_nsrc)[0]
     partner_of = jnp.where(real & (partner_of >= 0), partner_of,
                            safe_leader)
     has_partner = real & (partner_of != safe_leader)
@@ -190,11 +190,11 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     vals_f32 = a.vals.astype(jnp.float32) if m_wr is not None else a.vals
 
     def member_rows(members):
-        cols_m = ell_ops.take_member_rows(a, members, lc_fine,
+        cols_m = ell_ops.take_member_rows(members, lc_fine,
                                           m_base, m_wr, m_nsrc)   # (K, nc)
-        vals_m = ell_ops.take_member_rows(a, members, vals_f32,
+        vals_m = ell_ops.take_member_rows(members, vals_f32,
                                           m_base, m_wr, m_nsrc)
-        nnz_m = ell_ops.take_member_rows(a, members, a.rownnz[None, :],
+        nnz_m = ell_ops.take_member_rows(members, a.rownnz[None, :],
                                          m_base, m_wr, m_nsrc)[0]  # (nc,)
         sl = jax.lax.broadcasted_iota(jnp.int32, cols_m.shape, 0)
         ok = (sl < nnz_m[None, :]) & real[None, :]

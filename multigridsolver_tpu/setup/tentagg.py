@@ -169,7 +169,11 @@ def checktentagg(a0: ELL, si0: jnp.ndarray, labels: jnp.ndarray,
     nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
     singular = alp < eps * jnp.abs(coef)
     sl = jax.lax.broadcasted_iota(jnp.int32, (ncp, D), 1)
-    drop = singular[:, None] & (sl == jnp.maximum(nvalid - 1, 0)[:, None])
+    # valid slots are non-contiguous (side-0 members at 0..size1-1,
+    # side-1 at km..km+size2-1), so "last member" = max valid slot index,
+    # not nvalid-1
+    last_valid = jnp.max(jnp.where(valid, sl, -1), axis=1)
+    drop = singular[:, None] & (sl == last_valid[:, None])
     keep = valid & ~drop
     cross = keep[:, :, None] & keep[:, None, :]
     w = jnp.where(cross, w, 0.0)

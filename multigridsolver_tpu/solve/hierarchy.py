@@ -231,8 +231,13 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
         if lab.shape[0] < fine.npad:
             lab = jnp.concatenate([
                 lab, jnp.full((fine.npad - lab.shape[0],), -1, jnp.int32)])
+        elif lab.shape[0] > fine.npad:
+            # labels born at the setup tail shape (aggregation._TAIL_NPAD)
+            # on a narrower fine level: rows beyond fine.npad are tail
+            # padding (rownnz = 0 ⇒ excluded ⇒ label -1), safe to drop
+            lab = lab[: fine.npad]
         op = hyb.hybrid_from_ell_device(fine) if use_hybrid else fine
-        sm = make_smoother(op, kind=smoother_kind, **smoother_kw)
+        sm = make_smoother(op, kind=smoother_kind, ell=fine, **smoother_kw)
         if p_ops is not None:
             from ..setup.transfers import build_transfer_plan_from_p
             tplan = build_transfer_plan_from_p(p_ops[l], pt_ops[l],

@@ -53,12 +53,13 @@ def take_neighbor(a: ELL, x: jnp.ndarray,
     return out[0] if one_d else out
 
 
-def take_member_rows(a: ELL, members: jnp.ndarray, xs: jnp.ndarray,
+def take_member_rows(members: jnp.ndarray, xs: jnp.ndarray,
                      base_blk, wr: int | None, nsrc: int | None
                      ) -> jnp.ndarray:
     """out[s, c] = xs[s, members[c]] — fetch whole slot rows at member
-    indices (Galerkin pair merge).  ``base_blk``/``wr``/``nsrc`` is the
-    members window plan (None → XLA gather fallback)."""
+    indices (Galerkin pair merge).  The explicit ``base_blk``/``wr``/
+    ``nsrc`` *members* window plan routes the gather (None → XLA gather
+    fallback); no operator plan is consulted."""
     if wr is None:
         return jnp.take(xs, members, axis=1)
     from ..ops.gather_pallas import windowed_take_rows

@@ -95,12 +95,12 @@ def _spgemm_step(acc_c, acc_v, max_deg, a: ELL, b: ELL, ka, kc: int,
     j = jnp.take(a.cols, ka, axis=0)
     av = jnp.take(a.vals, ka, axis=0)
     valid_a = (ka < a.rownnz) & (av != 0.0)
-    cols_b = ops.take_member_rows(a, j, b.cols, a.base_blk, a.wr,
+    cols_b = ops.take_member_rows(j, b.cols, a.base_blk, a.wr,
                                   a.nsrc)                 # (K_B, n)
     vals_b = ops.take_member_rows(
-        a, j, b.vals.astype(jnp.float32) if a.base_blk is not None
+        j, b.vals.astype(jnp.float32) if a.base_blk is not None
         else b.vals, a.base_blk, a.wr, a.nsrc).astype(a.vals.dtype)
-    nnz_b = ops.take_member_rows(a, j, b.rownnz[None, :], a.base_blk,
+    nnz_b = ops.take_member_rows(j, b.rownnz[None, :], a.base_blk,
                                  a.wr, a.nsrc)[0]
     slot_b = jax.lax.broadcasted_iota(jnp.int32, (kb, a.npad), 0)
     ok = valid_a[None, :] & (slot_b < nnz_b[None, :])

@@ -44,6 +44,13 @@ class AggregationConfig:
     # "zerors" rule: if more than fracnegrcsum · n nodes have negative mean
     # row+col sum, treat the diagonal as row-sum-zero (f90:765-770).
     fracnegrcsum: float = 0.25
+    # skipass heuristic (dagtwolev_mex.f90:314-323): skip the first
+    # pairwise pass when the DD-excluded nodes alone already achieve the
+    # target coarsening — skip iff n_excl ≥ skipass_frac · n.  The Fortran
+    # uses the condition n > targetcoarsefac·(n − ndd), i.e. skipass_frac
+    # = 1 − 1/targetcoarsefac, and runs ONE extra pass to compensate
+    # (npass1 = npass + 1, f90:319); we reproduce both.  0 disables.
+    skipass_frac: float = 0.0
     # Symmetric-problem mode (agtwolev.m `sym`): skips the transpose work and
     # uses the symmetric pairing thresholds.
     symmetric: bool = False

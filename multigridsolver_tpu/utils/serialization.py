@@ -84,7 +84,11 @@ def _strip_derived(hier: Hierarchy) -> Hierarchy:
                                      m_nsrc=None)
         else:
             tp = None
-        levels.append(dataclasses.replace(lvl, a=a, tplan=tp))
+        sm = lvl.smoother
+        if sm.lmat is not None:     # ilu0 factors: strip derived plans
+            sm = dataclasses.replace(sm, lmat=strip_ell(sm.lmat),
+                                     umat=strip_ell(sm.umat))
+        levels.append(dataclasses.replace(lvl, a=a, tplan=tp, smoother=sm))
     coarse = dataclasses.replace(hier.coarse, a=strip_ell(hier.coarse.a))
     return dataclasses.replace(hier, levels=tuple(levels), coarse=coarse)
 
@@ -100,6 +104,7 @@ def save_hierarchy(path: str, hier: Hierarchy) -> None:
         "post_smooth": hier.post_smooth,
         "kcycle_steps": hier.kcycle_steps,
         "kcycle_depth": hier.kcycle_depth,
+        "combination": hier.combination,
         "levels": [
             {"nrows": lvl.a.nrows, "ncols": lvl.a.ncols,
              "nc_pad": lvl.nc_pad,
@@ -110,6 +115,7 @@ def save_hierarchy(path: str, hier: Hierarchy) -> None:
              "tplan_npad_f": getattr(lvl.tplan, "npad_f", 0),
              "offsets": list(getattr(lvl.a, "offsets", ())),
              "has_rest": getattr(lvl.a, "ell", None) is not None,
+             "has_ilu": lvl.smoother.lmat is not None,
              "smoother": {
                  "kind": lvl.smoother.kind, "sweeps": lvl.smoother.sweeps,
                  "omega": lvl.smoother.omega, "degree": lvl.smoother.degree,
@@ -162,7 +168,20 @@ def load_hierarchy(path: str, dtype=None) -> Hierarchy:
         from ..ops import gather_pallas as gp
         labels = next(it)
         d, lmax = next_n(2)
-        sm = Smoother(d=d, lmax=lmax, **lm["smoother"])
+        lmat = umat = udiag = None
+        if lm.get("has_ilu"):
+            from ..sparse.formats import with_device_plan
+            lc, lv, lr = next_n(3)
+            uc, uv, ur = next_n(3)
+            udiag = next(it)
+            lmat = with_device_plan(ELL(cols=lc, vals=lv, rownnz=lr,
+                                        nrows=lm["nrows"],
+                                        ncols=lm["ncols"]))
+            umat = with_device_plan(ELL(cols=uc, vals=uv, rownnz=ur,
+                                        nrows=lm["nrows"],
+                                        ncols=lm["ncols"]))
+        sm = Smoother(d=d, lmax=lmax, lmat=lmat, umat=umat, udiag=udiag,
+                      **lm["smoother"])
         tplan = None
         if lm.get("tplan_weighted"):
             from ..setup.transfers import TransferPlan
@@ -192,4 +211,5 @@ def load_hierarchy(path: str, dtype=None) -> Hierarchy:
                      cycle=meta["cycle"], pre_smooth=meta["pre_smooth"],
                      post_smooth=meta["post_smooth"],
                      kcycle_steps=meta["kcycle_steps"],
-                     kcycle_depth=meta["kcycle_depth"])
+                     kcycle_depth=meta["kcycle_depth"],
+                     combination=meta.get("combination", "multiplicative"))

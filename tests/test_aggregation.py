@@ -394,3 +394,75 @@ def test_tail_path_matches_per_round(monkeypatch):
         np.testing.assert_allclose(mt.to_csr().to_dense(),
                                    mr.to_csr().to_dense(),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_skipass_skips_pairing_on_dd_dominated_problem():
+    """skipass (dagtwolev_mex.f90:314-323): when the DD-excluded nodes
+    alone already give the target coarsening, pass 1 does NOT pair —
+    every non-excluded node becomes a singleton — and one extra pass
+    compensates (npass1 = npass + 1, f90:319)."""
+    n = 64
+    # 3/4 of the nodes hugely diagonally dominant -> excluded (G0);
+    # the rest a contiguous 1D Laplacian chain that WOULD pair normally
+    d = np.full(n, 2.05)
+    d[: 3 * n // 4] = 1000.0
+    a = sp.diags([d, -np.ones(n - 1), -np.ones(n - 1)], [0, -1, 1]).tolil()
+    a[0, n - 1] = -1.0
+    a[n - 1, 0] = -1.0
+    ell = CSR.from_scipy(sp.csr_matrix(a)).to_ell(dtype=jnp.float64)
+
+    st = compute_strength(ell, 10.0, True)
+    excl = np.asarray(st.excluded)[:n]
+    assert excl.sum() >= 0.75 * n          # the premise: DD-dominated
+
+    # threshold met (0.7 <= 0.75) -> pairing skipped, all singletons
+    paired = np.asarray(mutual_match(ell, st, skipass_frac=0.7))[:n]
+    nodes = np.arange(n)
+    assert ((paired[~excl] == nodes[~excl])).all()
+    # threshold not met at 0.8 -> pairing proceeds as usual
+    paired2 = np.asarray(mutual_match(ell, st, skipass_frac=0.8))[:n]
+    assert (paired2[~excl] != nodes[~excl]).any()
+
+    # driver wiring: with skipass_frac the first pass is all singletons
+    # and the compensating extra pass still coarsens
+    cfg = AggregationConfig(ktg=10.0, npass=1, tou=1e9,
+                            skipass_frac=0.7)
+    res = pairwise_aggregate(ell, cfg)
+    assert len(res.passes) == 2            # npass + 1 compensation
+    assert res.passes[0].nc == (~excl).sum()   # pass 1: singletons only
+    assert res.passes[1].nc < res.passes[0].nc  # pass 2 actually pairs
+
+
+def test_tail_levels_solve_end_to_end(monkeypatch):
+    """Regression: tail-produced levels carry _TAIL_NPAD-sized labels on
+    narrower fine operators; the hierarchy must slice them so the
+    restrict/prolong vector chain stays consistent (broke the multichip
+    dryrun + bench hierarchy build)."""
+    import jax.numpy as jnp
+    from multigridsolver_tpu.ops import gather_pallas as gp
+    from multigridsolver_tpu.solve.hierarchy import build_hierarchy
+    from multigridsolver_tpu.solve import solve_hierarchy
+
+    a = conftest.poisson2d_csr(40)              # 1600 rows -> tail-entry
+    cfg = HierarchyConfig(max_coarse_size=64, aggregation=AggregationConfig(
+        ktg=10.0, npass=2, tou=8.0))
+    monkeypatch.setattr(gp, "INTERPRET", True)
+    gp.windowed_gather_spmv.clear_cache()
+    gp.windowed_take.clear_cache()
+    gp.windowed_take_rows.clear_cache()
+    try:
+        ell = a.to_ell(dtype=jnp.float32)
+        s = build_amg_setup(ell, cfg)
+        assert any(lab.shape[0] > m.npad
+                   for lab, m in zip(s.level_labels, s.matrices[:-1])), \
+            "premise: at least one tail level with oversized labels"
+        h = build_hierarchy(s.matrices[0], s.level_labels, s.matrices[1:],
+                            smoother_kind="chebyshev", cycle="vcycle",
+                            use_hybrid=False)
+        rs = np.random.RandomState(0)
+        res = solve_hierarchy(h, rs.rand(a.shape[0]), tol=1e-5)
+        assert res.status == 0
+    finally:
+        gp.windowed_gather_spmv.clear_cache()
+        gp.windowed_take.clear_cache()
+        gp.windowed_take_rows.clear_cache()

@@ -86,3 +86,39 @@ def test_smoothed_hierarchy_roundtrip(tmp_path):
     assert int(res.iterations) == int(ref.iterations)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_ilu0_and_combination_roundtrip(tmp_path):
+    """ilu0 factor arrays and the additive/multiplicative combination flag
+    must survive a save/load cycle (the combination previously silently
+    reset to multiplicative)."""
+    import jax.numpy as jnp
+    import conftest
+    from multigridsolver_tpu.setup.aggregation import build_amg_setup
+    from multigridsolver_tpu.solve.hierarchy import build_hierarchy
+    from multigridsolver_tpu.solve import solve_hierarchy
+    from multigridsolver_tpu.utils.config import HierarchyConfig
+    from multigridsolver_tpu.utils.serialization import (save_hierarchy,
+                                                         load_hierarchy)
+    a = conftest.poisson2d_csr(16)
+    ell = a.to_ell(dtype=jnp.float32)
+    s = build_amg_setup(ell, HierarchyConfig(max_coarse_size=32))
+    h = build_hierarchy(s.matrices[0], s.level_labels, s.matrices[1:],
+                        smoother_kind="ilu0", cycle="vcycle",
+                        combination="additive", use_hybrid=False)
+    path = str(tmp_path / "h.npz")
+    save_hierarchy(path, h)
+    h2 = load_hierarchy(path)
+    assert h2.combination == "additive"
+    assert h2.levels[0].smoother.kind == "ilu0"
+    np.testing.assert_allclose(np.asarray(h2.levels[0].smoother.udiag),
+                               np.asarray(h.levels[0].smoother.udiag))
+    np.testing.assert_allclose(np.asarray(h2.levels[0].smoother.lmat.vals),
+                               np.asarray(h.levels[0].smoother.lmat.vals))
+    rs = np.random.RandomState(3)
+    b = rs.rand(a.shape[0])
+    r1 = solve_hierarchy(h, b, tol=1e-5)
+    r2 = solve_hierarchy(h2, b, tol=1e-5)
+    assert r1.iterations == r2.iterations
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               rtol=1e-6)

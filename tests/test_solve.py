@@ -202,3 +202,82 @@ class TestAdviceFixes:
         # and the combination mode actually changes the operator
         assert int(ra.iterations) != int(rm.iterations) or not np.allclose(
             np.asarray(ra.x), np.asarray(rm.x))
+
+
+class TestILU0:
+    @staticmethod
+    def _ikj_ilu0(ad):
+        """Sequential IKJ ILU(0) reference (Saad, Alg. 10.4): in-place on
+        the dense copy, updates restricted to the sparsity pattern."""
+        n = ad.shape[0]
+        pat = ad != 0.0
+        f = ad.copy()
+        for i in range(1, n):
+            for k in range(i):
+                if not pat[i, k]:
+                    continue
+                f[i, k] /= f[k, k]
+                for j in range(k + 1, n):
+                    if pat[i, j]:
+                        f[i, j] -= f[i, k] * f[k, j]
+        return f
+
+    def test_factor_matches_sequential_ilu0(self):
+        """The Chow–Patel fixed point IS the exact ILU(0): after enough
+        sweeps the factors agree entrywise with the IKJ recurrence."""
+        from multigridsolver_tpu.solve.smoothers import ilu0_factor
+        a, _ = spd_problem(7)
+        ell = a.to_ell(dtype=jnp.float64)
+        n = a.shape[0]
+        lv, uv, ud = ilu0_factor(ell, sweeps=40)
+        f = self._ikj_ilu0(a.to_dense())
+        got = np.zeros((n, n))
+        cols = np.asarray(ell.cols)[:, :n]
+        ri = np.arange(n)
+        for s in range(ell.k):
+            valid = s < np.asarray(ell.rownnz)[:n]
+            j = cols[s]
+            low = valid & (j < ri)
+            up = valid & (j > ri)
+            got[ri[low], j[low]] = np.asarray(lv)[s, :n][low]
+            got[ri[up], j[up]] = np.asarray(uv)[s, :n][up]
+        got[ri, ri] = np.asarray(ud)[:n]
+        np.testing.assert_allclose(got, np.where(a.to_dense() != 0, f, 0.0),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_ilu0_smoother_reduces_error(self):
+        a, b = spd_problem(8)
+        ell = a.to_ell(dtype=jnp.float64)
+        sm = make_smoother(ell, kind="ilu0", sweeps=1, inner_sweeps=6)
+        bp = pad_vector(b, ell.npad, jnp.float64)
+        x = jnp.zeros_like(bp)
+        r0 = float(jnp.linalg.norm(bp - ops.spmv(ell, x)))
+        for _ in range(8):
+            x = sm.apply(ell, bp, x)
+        r = float(jnp.linalg.norm(bp - ops.spmv(ell, x)))
+        # ~0.54 contraction per application on 2D Poisson — comfortably
+        # stronger than the 0.5-per-8-applications bound the diagonal
+        # smoothers meet above
+        assert r < 0.05 * r0
+
+    def test_ilu0_two_level_iteration_quality(self):
+        """End-to-end: ilu0 standing in for the reference's ILUT half of
+        the two-level preconditioner (main.cpp:53-54) must converge and
+        beat the plain-Jacobi smoother's iteration count."""
+        from multigridsolver_tpu.setup.aggregation import build_amg_setup
+        from multigridsolver_tpu.solve.hierarchy import build_hierarchy
+        from multigridsolver_tpu.utils.config import HierarchyConfig
+        a, b = spd_problem(24)
+        ell = a.to_ell(dtype=jnp.float64)
+        cfg = HierarchyConfig(max_coarse_size=64)
+        s = build_amg_setup(ell, cfg)
+        iters = {}
+        for kind in ("ilu0", "jacobi"):
+            h = build_hierarchy(s.matrices[0], s.level_labels,
+                                s.matrices[1:], smoother_kind=kind,
+                                cycle="vcycle", use_hybrid=False,
+                                inner_sweeps=4)
+            res = solve_hierarchy(h, b, tol=1e-8)
+            assert res.status == 0
+            iters[kind] = int(res.iterations)
+        assert iters["ilu0"] <= iters["jacobi"]
