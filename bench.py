@@ -150,7 +150,7 @@ def main():
                 return out / jnp.max(jnp.abs(out)) + 1e-12 * i
             return jax.lax.fori_loop(0, reps, body, x)
         return f
-    f1, f2 = spmv_chain(10), spmv_chain(210)
+    f1, f2 = spmv_chain(10), spmv_chain(1010)
     float(jnp.sum(f1())); float(jnp.sum(f2()))
     ts = []
     for f in (f1, f2):
@@ -160,7 +160,7 @@ def main():
             float(jnp.sum(f()))
             best = min(best, time.perf_counter() - t0)
         ts.append(best)
-    spmv_s = max((ts[1] - ts[0]) / 200, 1e-9)
+    spmv_s = max((ts[1] - ts[0]) / 1000, 1e-9)
     nnz_per_s = a.nnz / spmv_s
     log(f"[bench] SpMV: {spmv_s*1e3:.3f} ms → {nnz_per_s/1e9:.2f} Gnnz/s")
 

@@ -403,7 +403,8 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
             if first:
                 pass1_state["si"] = si
                 pass1_state["zerors"] = zerors
-        packed_np = np.asarray(packed)
+        from ..parallel.multihost import host_read
+        packed_np = host_read(packed)
         if first and cfg.skipass_frac > 0.0:
             pass1_state["skipped"] = bool(packed_np[-1])
             packed_np = packed_np[:-1]

@@ -320,7 +320,8 @@ def galerkin_pair_ell(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     cols, vals, rownnz, info = jax.jit(
         galerkin_pair_arrays, static_argnums=(3, 5, 6))(
         a, paired, labels, nc_pad, m_base, m_wr, m_nsrc)
-    info_np = np.asarray(info)
+    from ..parallel.multihost import host_read
+    info_np = host_read(info)
     nnz_c = int(info_np[0])
     kc_eff = max(int(info_np[1]), 1)
     ell = ELL(cols=cols[:kc_eff], vals=vals[:kc_eff],

@@ -74,7 +74,12 @@ def solve_hierarchy(hier: Hierarchy, b: np.ndarray | jnp.ndarray,
     a = hier.levels[0].a if hier.levels else hier.coarse.a
     n = a.nrows
     dtype = a.dtype if hasattr(a, "offsets") else a.vals.dtype
-    bp = pad_vector(np.asarray(b), a.npad, dtype=dtype)
+    if isinstance(b, jax.Array) and b.shape[0] == a.npad:
+        # already device-resident at the padded shape (possibly sharded
+        # across processes — don't pull it to host)
+        bp = b.astype(dtype)
+    else:
+        bp = pad_vector(np.asarray(b), a.npad, dtype=dtype)
     res = _solve_jit(hier, bp, method, float(tol), int(maxiter))
     return krylov.SolveResult(x=res.x[:n], iterations=res.iterations,
                               relres=res.relres, status=res.status)

@@ -253,7 +253,11 @@ class ELL:
 
     @property
     def nnz(self) -> int:
-        return int(jnp.sum(self.rownnz))
+        s = jnp.sum(self.rownnz)
+        if not getattr(s, "is_fully_addressable", True):
+            from ..parallel.multihost import host_read
+            return int(host_read(s))
+        return int(s)
 
     def slot_mask(self) -> jnp.ndarray:
         """(K, n_pad) bool — True for valid (stored) slots."""
