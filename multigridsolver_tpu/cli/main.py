@@ -55,6 +55,23 @@ def cmd_setup(args):
     timer.report()
     for i, p in enumerate(res.passes):
         print_info(f"AGMG round {i+1} completed, matrix size", p.nc)
+    if args.verbose:
+        # setup statistics, as the Fortran prints at the end of dag2l
+        # (dagtwolev_mex.f90:517-526): coarsening table + μ-quality
+        # histogram of the matched pairs (save_trs moral equivalent)
+        from ..utils.stats import aggregate_quality_histogram
+        n, nnz = a.nrows, a.nnz
+        print_info("coarsening", f"{n} -> {res.nc} "
+                   f"(ratio {n / max(res.nc, 1):.2f})")
+        for i, p in enumerate(res.passes):
+            print_info(f"  pass {i+1}", f"nc={p.nc} nnz={p.nnz} "
+                       f"nnz-ratio={p.nnz / nnz:.3f}")
+        hist, n_pairs, n_single, n_excl = \
+            aggregate_quality_histogram(ell, res.labels)
+        print_info("pairs / singletons / excluded",
+                   f"{n_pairs} / {n_single} / {n_excl}")
+        print_info("pair-quality histogram (bucket k: k-1 < mu <= k)",
+                   " ".join(str(int(h)) for h in hist))
     p = p_csr_from_labels(np.asarray(res.labels)[: a.nrows], res.nc)
     out = _matrix_path(args, f"{args.matrix}promatrix_{args.tag}")
     write_mtx(out, p)
@@ -158,6 +175,9 @@ def build_parser():
                    choices=["mutual", "greedy"])
     s.add_argument("--tag", default="tpu")
     s.add_argument("--f32", action="store_true")
+    s.add_argument("-v", "--verbose", action="store_true",
+                   help="print coarsening table + pair-quality histogram "
+                        "(the Fortran's setup statistics, f90:517-526)")
     s.set_defaults(fn=cmd_setup)
 
     s = sub.add_parser("solve", help="preconditioned Krylov solve")

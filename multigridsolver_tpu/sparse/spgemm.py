@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .formats import ELL, with_device_plan
+from .formats import ELL, with_device_plan, _round_up
 from . import ops
 
 
@@ -153,17 +153,60 @@ def spgemm_ell(a: ELL, b: ELL, kc: int | None = None) -> ELL:
     return with_device_plan(c)
 
 
-def transpose_ell(a: ELL, kc: int | None = None) -> ELL:
-    """Aᵀ as an ELL (host-driven width growth).  Built by relabelling each
-    stored (i, j, v) to (j, i, v) through one global sort — the device
-    sort path of galerkin_ell reused with identity labels."""
-    from ..setup.galerkin import galerkin_ell_arrays
-    # reuse: Aᵀ = "Galerkin" of A with row labels = column index requires
-    # a different relabel; simplest correct device route: sort the COO by
-    # (col, row) and rebuild — delegated to galerkin_ell_arrays' sort by
-    # treating (col → row) as (row' → col') via a swapped ELL view is not
-    # expressible slot-major, so go through the host CSR transpose (small
-    # one-time cost; device-resident transpose arrives with the windowed
-    # scatter kernel).
-    t = a.to_csr().transpose()
-    return t.to_ell(k=None, dtype=a.vals.dtype)
+@partial(jax.jit, static_argnames=("kt", "npad_t"))
+def _transpose_rounds(a: ELL, kt: int, npad_t: int):
+    """kt claim rounds: each round, every output column (= source column
+    j) claims its smallest-key unclaimed stored entry via scatter-min and
+    deposits it at the round's output slot.  Keys (row-major, slot-minor)
+    are unique per entry, so claims never collide and the transposed rows
+    come out in CSR-canonical (ascending source row) order.  Cost: kt
+    rounds of O(K*n) scatters/gathers -- no sort, no host round-trips,
+    and the best-key gathers ride A's windowed-gather plan when present.
+    Replaces the reference's CSC copy (MatrixOperations.cu:388-629) with
+    a formulation that needs no per-lane pointers or atomics."""
+    from . import ops as ell_ops
+    mask = a.slot_mask()
+    ri = a.row_iota()
+    sl = jax.lax.broadcasted_iota(jnp.int32, a.cols.shape, 0)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    key0 = ri * a.k + sl                      # unique per stored entry
+    out_c = jnp.zeros((kt, npad_t), jnp.int32)
+    out_v = jnp.zeros((kt, npad_t), a.vals.dtype)
+
+    def body(r, st):
+        rem, out_c, out_v = st
+        key = jnp.where(rem, key0, big)
+        best = jnp.full((npad_t,), big, jnp.int32).at[a.cols].min(
+            key, mode="drop")
+        best_at = ell_ops.take_neighbor(a, best) \
+            if npad_t == a.npad else jnp.take(best, a.cols, axis=0)
+        claimed = rem & (key == best_at)
+        row_r = jnp.zeros((npad_t,), jnp.int32).at[a.cols].add(
+            jnp.where(claimed, ri, 0), mode="drop")
+        val_r = jnp.zeros((npad_t,), a.vals.dtype).at[a.cols].add(
+            jnp.where(claimed, a.vals, 0.0), mode="drop")
+        out_c = jax.lax.dynamic_update_index_in_dim(out_c, row_r, r, 0)
+        out_v = jax.lax.dynamic_update_index_in_dim(out_v, val_r, r, 0)
+        return rem & ~claimed, out_c, out_v
+
+    _, out_c, out_v = jax.lax.fori_loop(0, kt, body, (mask, out_c, out_v))
+    rownnz_t = jnp.zeros((npad_t,), jnp.int32).at[a.cols].add(
+        mask.astype(jnp.int32), mode="drop")
+    return out_c, out_v, rownnz_t
+
+
+def transpose_ell(a: ELL, kt: int | None = None) -> ELL:
+    """A-transpose as an ELL, fully device-resident (no host CSR
+    round-trip).  ``kt`` bounds the output width (max stored entries per
+    source column); when None it is read back once (max of a scatter-add
+    column count -- the transpose itself then runs sync-free)."""
+    npad_t = _round_up(max(a.ncols, 1), 1024)
+    if kt is None:
+        cnt = jnp.zeros((npad_t,), jnp.int32).at[a.cols].add(
+            a.slot_mask().astype(jnp.int32), mode="drop")
+        kt = int(jnp.max(cnt))
+    kt = max(int(kt), 1)
+    cols_t, vals_t, rownnz_t = _transpose_rounds(a, kt, npad_t)
+    t = ELL(cols=cols_t, vals=vals_t, rownnz=rownnz_t,
+            nrows=a.ncols, ncols=a.nrows)
+    return with_device_plan(t)

@@ -140,3 +140,24 @@ class TestGalerkinPair:
         expect = scipy_rap(csr, labels, 6)
         np.testing.assert_allclose(ac.to_csr().to_dense(), expect,
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_transpose_ell_device_matches_scipy():
+    """Device-resident transpose (claim rounds): exact CSR-canonical
+    transpose for square, tall and wide operands, zeros preserved."""
+    from multigridsolver_tpu.sparse.spgemm import transpose_ell
+    from multigridsolver_tpu.sparse.formats import CSR
+    rs = np.random.RandomState(11)
+    for shape in ((40, 40), (64, 17), (17, 64)):
+        m = sp.random(*shape, density=0.15, random_state=rs,
+                      format="csr")
+        m.data[::7] = 0.0            # explicit stored zeros stay pattern
+        a = CSR.from_scipy(m).to_ell(dtype=jnp.float64)
+        t = transpose_ell(a)
+        assert (t.nrows, t.ncols) == (shape[1], shape[0])
+        got = t.to_csr().to_scipy()
+        want = sp.csr_matrix(m.T)
+        # same pattern (incl. explicit zeros) and values
+        np.testing.assert_array_equal(got.indptr, want.indptr)
+        np.testing.assert_array_equal(got.indices, want.indices)
+        np.testing.assert_allclose(got.data, want.data)
