@@ -93,14 +93,25 @@ def main():
         f"levels={sizes}")
 
     # --- hierarchy build (smoothers + dense coarse LU) ---
+    # cold AND warm: the cold-warm gap is XLA/Mosaic compile time, which
+    # regressed silently in round 2 — report the split so it can't again
+    def _build_hier():
+        h = build_hierarchy(setup.matrices[0], setup.level_labels,
+                            setup.matrices[1:], smoother_kind="chebyshev",
+                            cycle="kcycle", pre_smooth=1, post_smooth=1,
+                            degree=3, kcycle_depth=3)
+        jax.block_until_ready(h.coarse.lu)
+        return h
+
     t0 = time.perf_counter()
-    hier = build_hierarchy(setup.matrices[0], setup.level_labels,
-                           setup.matrices[1:], smoother_kind="chebyshev",
-                           cycle="kcycle", pre_smooth=1, post_smooth=1,
-                           degree=3, kcycle_depth=3)
-    jax.block_until_ready(hier.coarse.lu)
+    hier = _build_hier()
     hier_s = time.perf_counter() - t0
-    log(f"[bench] hierarchy build: {hier_s:.3f}s")
+    t0 = time.perf_counter()
+    hier = _build_hier()
+    hier_warm_s = time.perf_counter() - t0
+    log(f"[bench] hierarchy build: cold={hier_s:.3f}s "
+        f"warm={hier_warm_s:.3f}s "
+        f"(compile ~{hier_s - hier_warm_s:.1f}s)")
 
     # --- solve phase ---
     rs = np.random.RandomState(0)
@@ -213,12 +224,49 @@ def main():
                "sky80_vs_baseline": round(7.705 / sky_solve, 2),
                "sky80_levels": [m.nrows for m in setup80.matrices]}
 
+    # --- poisson3500: the reference's LARGEST setup benchmark
+    # (results.txt:30: 12.25 M rows, L4 = 4.39 s, Xeon serial = 27.54 s).
+    # Exercises setup HBM behaviour at 12x the headline problem. ---
+    p35 = {}
+    if os.environ.get("BENCH_SKIP_3500") != "1":
+        t0 = time.perf_counter()
+        lap35 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1],
+                         shape=(3500, 3500), format="csr")
+        eye35 = sp.identity(3500, format="csr")
+        a35 = CSR.from_scipy((sp.kron(lap35, eye35)
+                              + sp.kron(eye35, lap35)).tocsr())
+        log(f"[bench] poisson3500: n={a35.nrows} nnz={a35.nnz} "
+            f"({time.perf_counter()-t0:.1f}s to generate)")
+        ell35 = a35.to_ell(dtype=jnp.float32)
+        jax.block_until_ready(ell35.vals)
+        t0 = time.perf_counter()
+        s35 = build_amg_setup(ell35, cfg)
+        jax.block_until_ready(s35.matrices[-1].vals)
+        p35_cold = time.perf_counter() - t0
+        p35_warm = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s35 = build_amg_setup(ell35, cfg)
+            jax.block_until_ready(s35.matrices[-1].vals)
+            p35_warm = min(p35_warm, time.perf_counter() - t0)
+        log(f"[bench] poisson3500 setup: cold={p35_cold:.2f}s "
+            f"warm={p35_warm:.2f}s levels="
+            f"{[m.nrows for m in s35.matrices]} "
+            f"(L4 baseline 4.39s -> {4.39/p35_warm:.2f}x)")
+        p35 = {"p3500_setup_cold_s": p35_cold,
+               "p3500_setup_warm_s": p35_warm,
+               "p3500_vs_gpu_baseline": 4.39 / p35_warm,
+               "p3500_levels": [m.nrows for m in s35.matrices]}
+        del s35, ell35, a35
+
     details = {
         "matrix": f"poisson{n_grid}", "n": a.nrows, "nnz": a.nnz,
-        **sky,
+        **sky, **p35,
         "setup_cold_s": setup_cold, "setup_warm_s": setup_warm,
+        "setup_compile_s": setup_cold - setup_warm,
         "setup_vs_gpu_baseline": baseline_setup_gpu_s / setup_warm,
-        "hierarchy_s": hier_s,
+        "hierarchy_s": hier_s, "hierarchy_warm_s": hier_warm_s,
+        "hierarchy_compile_s": hier_s - hier_warm_s,
         "solve_s": solve_s, "iterations": int(res.iterations),
         "relres": float(res.relres),
         "levels": sizes,

@@ -50,7 +50,7 @@ T = 1024            # output rows per tile (one f32 vreg)
 # sizes serve restriction members-gathers (window ~ coarsening ratio x
 # 1024); the k-blocked grid bounds each kernel BODY at ~512 unrolled ops
 # regardless, so big wr costs runtime (2wr selects/vreg), not compile time
-_WRS = (8, 16, 32, 64, 128)
+_WRS = (8, 16, 32, 64, 128, 192)
 
 # run the kernel through the Pallas interpreter (tests on the CPU backend)
 INTERPRET = False

@@ -324,18 +324,23 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         ncb = min(npad, ((int(0.625 * npad) + 1023) // 1024) * 1024)
         ntb = ncb // 1024
         wr_g = min(128, max(32, 2 * (mat.wr or 16)))
+        # the coarse operator's on-device plan may need a wider window
+        # than the member gathers (sky-type problems: coarse spread grows
+        # past w at wr=128, which used to fail plan_ok and force the
+        # slow per-pass fallback every round)
+        wr_c1 = min(192, 2 * wr_g)
         args = (float(cfg.ktg), float(cfg.checkdd), float(cfg.trspos),
                 float(cfg.fracnegrcsum), int(cfg.max_matching_rounds),
                 bool(cfg.symmetric), str(cfg.mu_mode))
         paired1, labels1, packed1, si, zerors = _match_pass(
             mat, True, *args)
         c1c, c1v, c1r, base_c1, packed2 = _galerkin_bound(
-            mat, paired1, labels1, wr_g, ncb, wr_c=wr_g)
-        wc = wr_g * 128
+            mat, paired1, labels1, wr_g, ncb, wr_c=wr_c1)
+        wc = wr_c1 * 128
         nsrc_c1 = ((ncb + 2 * wc + 127) // 128) * 128
         c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=ncb, ncols=ncb,
-                 base_blk=base_c1, wr=wr_g, nsrc=nsrc_c1)
-        wr_g2 = min(128, 2 * wr_g)
+                 base_blk=base_c1, wr=wr_c1, nsrc=nsrc_c1)
+        wr_g2 = min(192, 2 * wr_g)
         paired2, labels2, packed3, _, _ = _match_pass(c1, False, *args)
         c2c, c2v, c2r, _, packed4 = _galerkin_bound(
             c1, paired2, labels2, wr_g2, ncb)

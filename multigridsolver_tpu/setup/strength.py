@@ -53,9 +53,12 @@ def si_vector(a: ELL) -> jnp.ndarray:
 
 
 def g0_mask(a: ELL, diag: jnp.ndarray, ktg: float,
-            checkdd: float = -0.5) -> jnp.ndarray:
-    """True for nodes excluded by diagonal dominance."""
-    abs_sum, _ = ops.symmetrized_offdiag_sums(a)
+            checkdd: float = -0.5, vals_t=None, has_pair=None
+            ) -> jnp.ndarray:
+    """True for nodes excluded by diagonal dominance.  ``vals_t``/
+    ``has_pair``: precomputed transposed values (see
+    symmetrized_offdiag_sums — avoid recomputing the costliest pass)."""
+    abs_sum, _ = ops.symmetrized_offdiag_sums(a, vals_t, has_pair)
     factor = max(abs(checkdd), ktg / (ktg - 2.0))
     return diag >= factor * abs_sum
 
@@ -68,14 +71,14 @@ def trspos_mask(a: ELL, diag: jnp.ndarray, trspos: float) -> jnp.ndarray:
 
 
 def mu_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
-             vals_t: jnp.ndarray) -> jnp.ndarray:
+             vals_t: jnp.ndarray, ajj=None, s_j=None) -> jnp.ndarray:
     """μ(i, j) for every stored slot (i → j).  Row-side quantities are
     plain broadcasts (the row index is the minor axis); only the j side
-    needs a gather."""
+    needs a gather (``ajj``/``s_j`` accept precomputed gathers)."""
     aii = diag[None, :]
-    ajj = ops.take_neighbor(a, diag)
+    ajj = ops.take_neighbor(a, diag) if ajj is None else ajj
     s_i = si[None, :]
-    s_j = ops.take_neighbor(a, si)
+    s_j = ops.take_neighbor(a, si) if s_j is None else s_j
     aij = a.vals
     aji = vals_t
     num = 2.0 / (1.0 / aii + 1.0 / ajj)
@@ -148,12 +151,15 @@ def _rel_eps(dtype) -> float:
     return float(100 * np.finfo(np.dtype(dtype)).eps)
 
 
-def feasible_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray) -> jnp.ndarray:
+def feasible_slots(a: ELL, diag: jnp.ndarray, si: jnp.ndarray,
+                   ajj=None, s_j=None) -> jnp.ndarray:
     """aᵢᵢ − sᵢ + aⱼⱼ − sⱼ ≥ 0 per slot (``AGMG.cpp:159``,
     ``Aggregation.cu:157-159``), with a repsmach-style relative guard."""
-    ajj = ops.take_neighbor(a, diag)
-    lhs = (diag[None, :] - si[None, :]
-           + ajj - ops.take_neighbor(a, si))
+    if ajj is None:
+        ajj = ops.take_neighbor(a, diag)
+    if s_j is None:
+        s_j = ops.take_neighbor(a, si)
+    lhs = diag[None, :] - si[None, :] + ajj - s_j
     tol = _rel_eps(diag.dtype) * (jnp.abs(diag)[None, :] + jnp.abs(ajj))
     return lhs >= -tol
 
@@ -176,6 +182,16 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
     the pass.
     """
     diag = ops.extract_diag(a)
+    # ONE transpose-matching pass per strength evaluation: values and the
+    # pair-exists mask come out of the same loop, and every consumer below
+    # (g0, union sums, edge mask) receives them — this program measured
+    # 175 ms at sky80 level 1, so accidental recomputation (which CSE
+    # across fori_loops does not reliably remove) dominates warm setup
+    if symmetric:
+        vals_t = a.vals
+        has_pair = a.slot_mask()
+    else:
+        vals_t, has_pair = ops.transposed_slot_values(a, with_pairs=True)
     if symmetric:
         si = -ops.row_sum(a, skip_diag=True)
     else:
@@ -193,7 +209,7 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
             factor = max(abs(checkdd), ktg / (ktg - 2.0))
             excl = diag >= factor * abs_sum
         else:
-            excl = g0_mask(a, diag, ktg, checkdd)
+            excl = g0_mask(a, diag, ktg, checkdd, vals_t, has_pair)
         if fracnegrcsum > 0.0:
             # zerors rule (dagtwolev_mex.f90:763-770): if more than
             # fracnegrcsum·n nodes have negative mean row+col sum
@@ -209,7 +225,6 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
     else:
         excl = jnp.zeros((a.npad,), dtype=bool)
     excl = excl | ~rowmask | (a.rownnz == 0)
-    vals_t = a.vals if symmetric else ops.transposed_slot_values(a)
     nondiag = a.slot_mask() & (a.cols != a.row_iota())
     # stored-but-zero entries are not graph edges when the symmetrised
     # coupling vanishes; the reference checks A(i,j) != 0 (AGMG.cpp:155)
@@ -219,11 +234,13 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
         mu, ok = mu_slots_notay(a, diag, si, vals_t, zerors)
         allowed = edge & ok & (mu >= 0.0) & (mu <= ktg) & not_excl
     else:
-        mu = mu_slots(a, diag, si, vals_t)
+        ajj = ops.take_neighbor(a, diag)
+        s_j = ops.take_neighbor(a, si)
+        mu = mu_slots(a, diag, si, vals_t, ajj=ajj, s_j=s_j)
         allowed = (edge
                    & (mu > 0.0) & (mu <= ktg)
                    & not_excl
-                   & feasible_slots(a, diag, si))
+                   & feasible_slots(a, diag, si, ajj=ajj, s_j=s_j))
     if mu_symmetrize:
         # Belt-and-braces for the handshake matching, which needs
         # μ(i→j) == μ(j→i) bitwise for mutual acceptance: although every

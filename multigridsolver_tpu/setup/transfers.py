@@ -155,7 +155,7 @@ def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
             # outlier members defeat the exact plan: anchor windows on
             # the coarse diagonal, spill the stragglers to an XLA path
             stretch = npad_f / max(nc_t, 1)
-            for wr in (16, 32, 64, 128):
+            for wr in (16, 32, 64, 128, 192):
                 if km * 2 * wr > 32768:
                     break
                 base_np, nsrc = gp.anchored_base(nc_t // gp.T, wr, npad_f,

@@ -166,7 +166,7 @@ def _attach_gather_plan(ell: ELL | None):
     # SpMV cost (kernel ≈ 0.09 ns/elem · wr/16; overflow COO ≈ 14
     # ns/straggler on the XLA path) ----
     best = None
-    for wr in (16, 32, 64, 128):
+    for wr in (16, 32, 64, 128, 192):
         if ell.k * 2 * wr > _PLAN_UNROLL_BUDGET:
             break
         base_np, nsrc_pad = gp.anchored_base(ntiles, wr, ell.ncols)

@@ -131,12 +131,17 @@ def _transposed_lookup(a: ELL, reduce_vals: bool):
     each iteration gathers one (K, n) plane — cols[s₂] and vals[s₂]
     evaluated at j = a.cols — and accumulates where the column matches i.
     Work is identical (O(K²·n) compares), peak memory drops K-fold.
+
+    ``reduce_vals=True`` additionally tracks the hit mask, so value AND
+    existence come out of ONE loop — this is the setup phase's costliest
+    program (measured 175 ms at sky80 level 1), so it must never run
+    twice per pass.
     """
     ri = a.row_iota()
     j = a.cols                                       # (K, n)
     nnz_j = take_neighbor(a, a.rownnz)               # (K, n)
     if reduce_vals:
-        init = jnp.zeros(j.shape, a.vals.dtype)
+        init = (jnp.zeros(j.shape, a.vals.dtype), jnp.zeros(j.shape, bool))
     else:
         init = jnp.zeros(j.shape, bool)
 
@@ -147,21 +152,26 @@ def _transposed_lookup(a: ELL, reduce_vals: bool):
         if reduce_vals:
             vals_row = jnp.take(a.vals, s2, axis=0)
             vals_j = take_neighbor(a, vals_row)
-            return acc + jnp.where(hit, vals_j, 0.0)
+            return acc[0] + jnp.where(hit, vals_j, 0.0), acc[1] | hit
         return acc | hit
 
     return jax.lax.fori_loop(0, a.k, body, init)
 
 
-def transposed_slot_values(a: ELL) -> jnp.ndarray:
+def transposed_slot_values(a: ELL,
+                           with_pairs: bool = False) -> jnp.ndarray:
     """(K, n_pad) array t where t[s, i] = A[j, i] for j = cols[s, i] (0 if
     the transposed entry is not stored).
 
     TPU analogue of the reference's per-μ-evaluation binary searches
     (``MatrixAccess.cu:28-47``): a vectorised K-way compare against row j's
     stored columns (K small), chunked to bound memory at large K.
-    """
-    return _transposed_lookup(a, reduce_vals=True)
+    ``with_pairs=True`` also returns the pair-exists mask from the same
+    loop (no second transpose-matching pass)."""
+    vals_t, hit = _transposed_lookup(a, reduce_vals=True)
+    if with_pairs:
+        return vals_t, hit & a.slot_mask()
+    return vals_t
 
 
 def pair_exists(a: ELL) -> jnp.ndarray:
@@ -197,22 +207,28 @@ def transpose_slot_field(a: ELL, field: jnp.ndarray
     return acc, has & a.slot_mask()
 
 
-def symmetrized_offdiag_sums(a: ELL) -> tuple[jnp.ndarray, jnp.ndarray]:
+def symmetrized_offdiag_sums(a: ELL, vals_t: jnp.ndarray | None = None,
+                             has_pair: jnp.ndarray | None = None
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row (Σⱼ≠ᵢ |(aᵢⱼ + aⱼᵢ)/2|,  Σⱼ≠ᵢ (aᵢⱼ + aⱼᵢ)/2).
 
     Exact union-pattern merge semantics of the reference's two-pointer
     CSR/CSC walks (``Aggregation.cu:17-64``, ``AGMG.cpp:48-90``): a shared
     entry contributes |aᵢⱼ+aⱼᵢ|/2 once; an entry stored in only one of
     row i / column i contributes |a|/2.
+
+    ``vals_t``/``has_pair``: the transposed values / pair-exists mask if
+    the caller already has them (compute_strength does) — recomputing
+    them here would double the costliest program of the setup pass.
     """
-    vals_t = transposed_slot_values(a)  # (K, n): aⱼᵢ for each stored (i,j)
+    if vals_t is None:
+        vals_t, has_pair = transposed_slot_values(a, with_pairs=True)
     mask = a.slot_mask()
     offdiag = mask & (a.cols != a.row_iota())
     sym = (a.vals + vals_t) / 2.0
     abs_from_rows = jnp.sum(jnp.where(offdiag, jnp.abs(sym), 0.0), axis=0)
     # an entry (i,j) stored while (j,i) is not contributes |aij|/2 to row
     # j's union pattern — scattered below
-    has_pair = pair_exists(a)
     lone = offdiag & ~has_pair
     extra = jnp.zeros((a.npad,), dtype=a.vals.dtype)
     extra = extra.at[a.cols].add(
