@@ -10,9 +10,18 @@ from each neighbouring shard — the moral equivalent of AGMG-MPI's
 instead of per-row index lists.
 
 Per SpMV each shard ppermutes its W boundary entries to its neighbours
-(2W floats over ICI instead of n), extends its local block, and applies
-the diagonal lanes with static slices.  The ELL remainder (absent for
-pure stencils) falls back to an in-kernel all-gather.
+(2W floats over ICI instead of n).  The kernel is structured for
+**communication/compute overlap**: the interior multiply reads only a
+zero-extended copy of the LOCAL block — it carries no data dependence on
+the ppermute — and the halo values enter through O(W)-sized boundary
+corrections added afterwards.  XLA's latency-hiding scheduler can
+therefore issue collective-permute-start, run the full interior multiply,
+and only then wait on collective-permute-done.
+
+The ELL remainder (irregular entries; coarse levels) rides the
+index-list exchange of exchange.py — one all_to_all of exactly the
+off-shard x entries it references — with an in-kernel all-gather as the
+fallback when no plan could be built.
 
 Wraparound halos at the mesh ends carry garbage, but the dval lanes are 0
 wherever i + o leaves [0, n) — the same invariant that makes the
@@ -31,6 +40,7 @@ from jax import shard_map
 
 from ..sparse.hybrid import HYB
 from ..sparse.formats import ELL
+from .exchange import build_exchange_plan, exchange_recv
 
 
 def _round_up(x: int, m: int) -> int:
@@ -43,72 +53,68 @@ def halo_width(a: HYB, multiple: int = 8) -> int:
     return _round_up(max(abs(o) for o in a.offsets), multiple)
 
 
-def make_halo_spmv(a: HYB, mesh: Mesh):
-    """Build a jittable y = A @ x over row-sharded x.
-
-    ``a`` must already be sharded over ``mesh`` (dvals P(None, "rows")).
-    Requires the halo width to fit within one shard (W ≤ n_local), i.e.
-    the band must not span more than a neighbour — true for all stencil
-    problems at any practical shard count.
-    """
-    ndev = mesh.devices.size
-    n_local = a.npad // ndev
-    w = halo_width(a)
-    if w > n_local:
-        raise ValueError(f"halo {w} exceeds shard size {n_local}; "
-                         "use the all-gather path")
-    offsets = a.offsets
-    has_rest = a.ell is not None
-    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
-    bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
-
-    def kernel(dvals, x, *rest):
-        # dvals: (D, n_local); x: (n_local,)
-        if w > 0:
-            left = jax.lax.ppermute(x[-w:], "rows", perm=fwd)
-            right = jax.lax.ppermute(x[:w], "rows", perm=bwd)
-            ext = jnp.concatenate([left, x, right])
-        else:
-            ext = x
+def _dia_interior(dvals, x, offsets, w, n_local):
+    """Band multiply using only the local block (zeros beyond its ends);
+    no dependence on any collective."""
+    if w == 0:
         y = jnp.zeros_like(x)
         for d, o in enumerate(offsets):
-            y = y + dvals[d] * jax.lax.dynamic_slice(ext, (w + o,),
-                                                     (n_local,))
-        if has_rest:
-            cols, vals, rownnz = rest
-            xg = jax.lax.all_gather(x, "rows", tiled=True)
-            sl = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
-            ok = sl < rownnz[None, :]
-            g = jnp.take(xg, cols, axis=0)
-            y = y + jnp.sum(jnp.where(ok, vals, 0.0) * g, axis=0)
+            y = y + dvals[d] * x if o == 0 else \
+                y + dvals[d] * jax.lax.dynamic_slice(
+                    jnp.pad(x, (max(-o, 0), max(o, 0))),
+                    (max(-o, 0) + o,), (n_local,))
         return y
+    xz = jnp.concatenate(
+        [jnp.zeros((w,), x.dtype), x, jnp.zeros((w,), x.dtype)])
+    y = jnp.zeros_like(x)
+    for d, o in enumerate(offsets):
+        y = y + dvals[d] * jax.lax.dynamic_slice(xz, (w + o,), (n_local,))
+    return y
 
-    in_specs = [P(None, "rows"), P("rows")]
-    args = [a.dvals]
-    if has_rest:
-        in_specs += [P(None, "rows"), P(None, "rows"), P("rows")]
-        rest_args = [a.ell.cols, a.ell.vals, a.ell.rownnz]
-    else:
-        rest_args = []
 
-    mapped = shard_map(kernel, mesh=mesh,
-                       in_specs=tuple(in_specs),
-                       out_specs=P("rows"))
-
-    def spmv(x):
-        return mapped(args[0], x, *rest_args)
-
-    return spmv
+def _dia_corrections(y, dvals, left, right, offsets, w, n_local):
+    """Add the boundary terms the interior multiply zeroed out: rows
+    i < -o read x[i+o] from the left halo, rows i ≥ n_local - o from the
+    right halo.  O(W·D) work — tiny next to the interior."""
+    iw = jnp.arange(w)
+    head = jnp.zeros((w,), y.dtype)
+    tail = jnp.zeros((w,), y.dtype)
+    for d, o in enumerate(offsets):
+        if o < 0:
+            # local row i (< w) wants x_local[i + o]; i + o < 0 → left
+            idx = jnp.clip(w + iw + o, 0, w - 1)
+            head = head + jnp.where(
+                iw + o < 0, dvals[d][:w] * jnp.take(left, idx, axis=0),
+                0.0)
+        elif o > 0:
+            # local row i = n_local - w + j wants x_local[i + o];
+            # i + o ≥ n_local ⇔ j + o ≥ w → right[j + o - w]
+            idx = jnp.clip(iw + o - w, 0, w - 1)
+            tail = tail + jnp.where(
+                iw + o >= w,
+                dvals[d][n_local - w:] * jnp.take(right, idx, axis=0),
+                0.0)
+    y = jax.lax.dynamic_update_slice(
+        y, jax.lax.dynamic_slice(y, (0,), (w,)) + head, (0,))
+    return jax.lax.dynamic_update_slice(
+        y, jax.lax.dynamic_slice(y, (n_local - w,), (w,)) + tail,
+        (n_local - w,))
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["a"], meta_fields=["mesh"])
+         data_fields=["a", "ex_cols", "ex_send_idx"],
+         meta_fields=["mesh", "ex_L"])
 @dataclass
 class HaloOp:
     """A row-sharded HYB operator bound to its mesh: ``ops.spmv`` routes
     it through the ppermute halo exchange instead of letting XLA
     all-gather x (VERDICT r1: the halo path existed but was an orphan —
     this wrapper is how the hierarchy actually rides it).
+
+    ``ex_cols``/``ex_send_idx``/``ex_L`` (optional) hold an index-list
+    exchange plan for the ELL remainder (exchange.py): remapped column
+    indices into [x_local | recv] and the per-pair send lists.  Without
+    a plan the remainder all-gathers x.
 
     Data field ``a`` is the sharded HYB; the (hashable) Mesh is static
     metadata.  All other attributes forward to the wrapped operator so
@@ -117,9 +123,12 @@ class HaloOp:
 
     a: HYB
     mesh: Mesh
+    ex_cols: jnp.ndarray | None = None
+    ex_send_idx: jnp.ndarray | None = None
+    ex_L: int | None = None
 
     def __getattr__(self, name):
-        if name in ("a", "mesh"):
+        if name in ("a", "mesh", "ex_cols", "ex_send_idx", "ex_L"):
             raise AttributeError(name)
         return getattr(self.a, name)
 
@@ -129,38 +138,81 @@ class HaloOp:
         n_local = a.npad // ndev
         w = halo_width(a)
         offsets = a.offsets
-        rest_ells = [e for e in (a.ell,) if e is not None]
-        has_rest = bool(rest_ells)
+        ell = a.ell
+        has_rest = ell is not None
+        has_plan = has_rest and self.ex_cols is not None
+        ex_L = self.ex_L or 0
         fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
         bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
 
         def kernel(dvals, xs, *rest):
+            # issue collectives FIRST; interior compute depends on
+            # neither, so the scheduler can overlap them
             if w > 0:
                 left = jax.lax.ppermute(xs[-w:], "rows", perm=fwd)
                 right = jax.lax.ppermute(xs[:w], "rows", perm=bwd)
-                ext = jnp.concatenate([left, xs, right])
-            else:
-                ext = xs
-            y = jnp.zeros_like(xs)
-            for d, o in enumerate(offsets):
-                y = y + dvals[d] * jax.lax.dynamic_slice(
-                    ext, (w + o,), (n_local,))
-            if has_rest:
+            if has_plan:
+                cols, vals, send_idx = rest
+                recv = exchange_recv(xs, send_idx[0], ex_L, ndev) \
+                    if ex_L > 0 else jnp.zeros((0,), xs.dtype)
+            elif has_rest:
+                cols, vals, rownnz = rest
                 xg = jax.lax.all_gather(xs, "rows", tiled=True)
-                for i in range(len(rest_ells)):
-                    cols, vals, rownnz = rest[3 * i: 3 * i + 3]
-                    sl = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
-                    ok = sl < rownnz[None, :]
-                    g = jnp.take(xg, cols, axis=0)
-                    y = y + jnp.sum(jnp.where(ok, vals, 0.0) * g,
-                                    axis=0)[: n_local]
+
+            y = _dia_interior(dvals, xs, offsets, w, n_local)
+            if has_plan:
+                g = jnp.take(jnp.concatenate([xs, recv]), cols, axis=0)
+                y = y + jnp.sum(vals * g, axis=0)  # invalid slots: val=0
+            elif has_rest:
+                sl = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
+                ok = sl < rownnz[None, :]
+                g = jnp.take(xg, cols, axis=0)
+                y = y + jnp.sum(jnp.where(ok, vals, 0.0) * g,
+                                axis=0)[:n_local]
+            if w > 0:
+                y = _dia_corrections(y, dvals, left, right, offsets, w,
+                                     n_local)
             return y
 
         in_specs = [P(None, "rows"), P("rows")]
         rest_args = []
-        for e in rest_ells:
+        if has_plan:
+            in_specs += [P(None, "rows"), P(None, "rows"),
+                         P("rows", None, None)]
+            rest_args = [self.ex_cols, ell.vals, self.ex_send_idx]
+        elif has_rest:
             in_specs += [P(None, "rows"), P(None, "rows"), P("rows")]
-            rest_args += [e.cols, e.vals, e.rownnz]
+            rest_args = [ell.cols, ell.vals, ell.rownnz]
         mapped = shard_map(kernel, mesh=mesh, in_specs=tuple(in_specs),
                            out_specs=P("rows"))
         return mapped(a.dvals, x, *rest_args)
+
+
+def make_halo_op(a: HYB, mesh: Mesh) -> HaloOp:
+    """Bind a sharded HYB to the mesh, building the remainder's
+    index-list exchange plan (one host readback of the cols pattern) when
+    one exists and is cheaper than the all-gather."""
+    ndev = mesh.devices.size
+    if halo_width(a) > a.npad // ndev:
+        raise ValueError(f"halo {halo_width(a)} exceeds shard size "
+                         f"{a.npad // ndev}; use the all-gather path")
+    op = HaloOp(a=a, mesh=mesh)
+    if a.ell is not None:
+        plan = build_exchange_plan(np.asarray(a.ell.cols),
+                                   np.asarray(a.ell.rownnz), ndev)
+        if plan is not None:
+            rows2d = NamedSharding(mesh, P(None, "rows"))
+            shards = NamedSharding(mesh, P("rows", None, None))
+            op = HaloOp(
+                a=a, mesh=mesh,
+                ex_cols=jax.device_put(jnp.asarray(plan.cols), rows2d),
+                ex_send_idx=jax.device_put(jnp.asarray(plan.send_idx),
+                                           shards),
+                ex_L=plan.L)
+    return op
+
+
+def make_halo_spmv(a: HYB, mesh: Mesh):
+    """Build a jittable y = A @ x over row-sharded x (the function form
+    of :class:`HaloOp`, kept for tests/back-compat)."""
+    return make_halo_op(a, mesh).spmv

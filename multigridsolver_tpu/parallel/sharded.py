@@ -107,17 +107,21 @@ def shard_hierarchy(hier: Hierarchy, mesh: Mesh,
     Labels are padded with -1 (excluded), so repadding never changes the
     operator.
     """
-    from .halo import HaloOp, halo_width
+    from .halo import make_halo_op, halo_width
+    from .exchange import exchange_ell
     ndev = mesh.devices.size
     new_levels = []
     for idx, lvl in enumerate(hier.levels):
         if idx < shard_levels:
             a = shard_operator(lvl.a, mesh)
             # banded operators ride the ppermute halo exchange instead of
-            # the XLA all-gather (2W floats over ICI per SpMV, not n)
+            # the XLA all-gather (2W floats over ICI per SpMV, not n);
+            # irregular ELL parts ride the index-list all_to_all
             if (hasattr(a, "offsets") and a.offsets
                     and halo_width(a) <= a.npad // ndev):
-                a = HaloOp(a=a, mesh=mesh)
+                a = make_halo_op(a, mesh)
+            elif isinstance(a, ELL):
+                a = exchange_ell(a, mesh) or a
             labels = lvl.labels
             if labels.shape[0] < a.npad:
                 labels = jnp.concatenate([

@@ -200,6 +200,136 @@ class TestHaloOpIntegration:
             np.asarray(ref.x)[: a.shape[0]], rtol=1e-8, atol=1e-10)
 
 
+def _local_noise(n, rs, nnz=120, spread=150):
+    """Sparse noise whose columns stay near the diagonal — the realistic
+    remainder shape (aggregation preserves ordering locality), and one
+    the index-list plan accepts (uniform-random columns are refused:
+    their lists would move more than the all-gather they replace)."""
+    import scipy.sparse as sp
+    r = rs.randint(0, n, size=nnz)
+    c = np.clip(r + rs.randint(-spread, spread + 1, size=nnz), 0, n - 1)
+    return sp.coo_matrix((rs.randn(nnz), (r, c)), shape=(n, n)).tocsr()
+
+
+class TestIndexListExchange:
+    def test_remainder_rides_all_to_all_not_all_gather(self, mesh):
+        """With an exchange plan, the compiled SpMV of a DIA+ELL operator
+        must move the remainder's off-shard x entries via all-to-all
+        index lists — never an all-gather (VERDICT r2 #4)."""
+        import scipy.sparse as sp
+        from multigridsolver_tpu.sparse.formats import CSR
+        from multigridsolver_tpu.sparse import hybrid as hyb
+        from multigridsolver_tpu.sparse import ops
+        from multigridsolver_tpu.parallel import shard_operator
+        from multigridsolver_tpu.parallel.halo import make_halo_op
+
+        rs = np.random.RandomState(7)
+        base = conftest.poisson2d_csr(30).to_scipy()
+        a = CSR.from_scipy((base + _local_noise(900, rs)).tocsr())
+        h = hyb.hybrid_from_ell_device(a.to_ell(dtype=jnp.float64))
+        assert h.ell is not None
+        op = make_halo_op(shard_operator(h, mesh), mesh)
+        assert op.ex_cols is not None, "exchange plan must build"
+        x = jnp.zeros((op.npad,), jnp.float64)
+        xs = shard_vector(x, mesh)
+        hlo = jax.jit(ops.spmv).lower(op, xs).compile().as_text()
+        assert "all-gather" not in hlo
+        assert "all-to-all" in hlo
+        assert "collective-permute" in hlo
+
+    def test_remainder_exchange_matches_reference(self, mesh):
+        import scipy.sparse as sp
+        from multigridsolver_tpu.sparse.formats import CSR
+        from multigridsolver_tpu.sparse import hybrid as hyb
+        from multigridsolver_tpu.sparse import ops
+        from multigridsolver_tpu.parallel import shard_operator
+        from multigridsolver_tpu.parallel.halo import make_halo_op
+
+        rs = np.random.RandomState(5)
+        base = conftest.poisson2d_csr(30).to_scipy()
+        a = CSR.from_scipy((base + _local_noise(900, rs)).tocsr())
+        h = hyb.hybrid_from_ell_device(a.to_ell(dtype=jnp.float64))
+        op = make_halo_op(shard_operator(h, mesh), mesh)
+        assert op.ex_cols is not None
+        x = np.zeros(op.npad)
+        x[: a.shape[1]] = rs.randn(a.shape[1])
+        xs = shard_vector(jnp.asarray(x), mesh)
+        y = np.asarray(jax.jit(ops.spmv)(op, xs))
+        ref = a.to_scipy() @ x[: a.shape[1]]
+        np.testing.assert_allclose(y[: a.shape[0]], ref, rtol=1e-11,
+                                   atol=1e-11)
+
+    def test_exchange_ell_irregular_operator(self, mesh):
+        """Coarse-level-like irregular ELL (stencil + scattered local
+        fill, as Galerkin products produce): the index-list exchange must
+        reproduce the single-device SpMV and compile without any
+        all-gather."""
+        import scipy.sparse as sp
+        from multigridsolver_tpu.sparse.formats import CSR
+        from multigridsolver_tpu.sparse import ops
+        from multigridsolver_tpu.parallel import shard_ell
+        from multigridsolver_tpu.parallel.exchange import exchange_ell
+
+        rs = np.random.RandomState(11)
+        m = conftest.poisson2d_csr(64).to_scipy()   # n=4096, band 64
+        m = (m + _local_noise(4096, rs, nnz=800, spread=100)).tocsr()
+        a = CSR.from_scipy(m)
+        ell = a.to_ell(dtype=jnp.float64)
+        ell_sh = shard_ell(ell, mesh)
+        op = exchange_ell(ell_sh, mesh)
+        assert op is not None, "plan must build for a local pattern"
+        x = np.zeros(op.npad)
+        x[: a.shape[1]] = rs.randn(a.shape[1])
+        y_ref = np.asarray(ops.spmv(ell, jnp.asarray(x[: ell.npad])))
+        xs = shard_vector(jnp.asarray(x), mesh)
+        y = np.asarray(jax.jit(ops.spmv)(op, xs))
+        np.testing.assert_allclose(y[: a.shape[0]], y_ref[: a.shape[0]],
+                                   rtol=1e-12, atol=1e-12)
+        hlo = jax.jit(ops.spmv).lower(op, xs).compile().as_text()
+        assert "all-gather" not in hlo
+        assert "all-to-all" in hlo
+
+    def test_exchange_plan_refused_when_dense(self, mesh):
+        """A pattern whose lists would move more than an all-gather must
+        be refused (the exchange must never lose to what it replaces)."""
+        from multigridsolver_tpu.parallel.exchange import (
+            build_exchange_plan)
+        rs = np.random.RandomState(3)
+        n, k = 128, 16
+        cols = rs.randint(0, n, size=(k, n)).astype(np.int32)
+        rownnz = np.full((n,), k, np.int32)
+        assert build_exchange_plan(cols, rownnz, 8) is None
+
+    def test_block_diagonal_needs_no_collective(self, mesh):
+        """A remainder with no cross-shard references compiles to a
+        collective-free SpMV (L = 0)."""
+        from multigridsolver_tpu.sparse.formats import ELL
+        from multigridsolver_tpu.sparse import ops
+        from multigridsolver_tpu.parallel import shard_ell
+        from multigridsolver_tpu.parallel.exchange import exchange_ell
+
+        n, k, ndev = 64 * 8, 3, 8
+        nl = n // ndev
+        rs = np.random.RandomState(2)
+        # each row references only columns within its own shard
+        base = (np.arange(n) // nl) * nl
+        cols = (base[None, :] + rs.randint(0, nl, size=(k, n))
+                ).astype(np.int32)
+        vals = rs.randn(k, n)
+        ell = ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+                  rownnz=jnp.full((n,), k, jnp.int32), nrows=n, ncols=n)
+        op = exchange_ell(shard_ell(ell, mesh), mesh)
+        assert op is not None and op.L == 0
+        x = rs.randn(n)
+        y_ref = np.asarray(ops.spmv(ell, jnp.asarray(x)))
+        xs = shard_vector(jnp.asarray(x), mesh)
+        y = np.asarray(jax.jit(ops.spmv)(op, xs))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
+        hlo = jax.jit(ops.spmv).lower(op, xs).compile().as_text()
+        assert "all-gather" not in hlo
+        assert "all-to-all" not in hlo
+
+
 class TestDistributedSetup:
     def test_sharded_setup_labels_bit_identical(self, mesh):
         """The full aggregation setup over row-sharded arrays (GSPMD
