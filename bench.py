@@ -30,10 +30,9 @@ def main():
     # TPU AOT compiles go through a remote helper and cost seconds to
     # minutes for the large setup programs; cache them on disk so repeated
     # bench runs pay only once per program shape.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jaxcache_tpu"))
+    from multigridsolver_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     import scipy.sparse as sp
     from multigridsolver_tpu.sparse.formats import CSR

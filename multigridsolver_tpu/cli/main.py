@@ -223,6 +223,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ..utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     if not getattr(args, "f32", True):
         import jax
         jax.config.update("jax_enable_x64", True)

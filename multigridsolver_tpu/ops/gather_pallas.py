@@ -60,18 +60,39 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# the exact gather form jnp.take_along_axis(row, lane, axis=1) emits on
+# (8, 128) operands — Mosaic pattern-matches it to the VPU dynamic_gather
+_LANE_DNUMS = jax.lax.GatherDimensionNumbers(
+    offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+    operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+
+
 def _window_gather(xw, idx, wr):
     """The core composed gather: (8,128) values of the (2wr,128) VMEM
-    window at local indices ``idx`` (clipped; callers mask junk)."""
+    window at local indices ``idx`` (clipped; callers mask junk).
+
+    Every op here is a RAW lax primitive bind: the unrolled 2wr-step
+    select chain is traced once per kernel instance, and jnp-level sugar
+    (where/take_along_axis) costs ~2 ms per call in trace dispatch inside
+    Pallas bodies — measured 98 s of the 124 s poisson1000 cold setup
+    before this was flattened to primitives (~25 µs/bind)."""
     nwin = 2 * wr * 128
-    idx = jnp.clip(idx, 0, nwin - 1)
-    lane = jax.lax.rem(idx, jnp.full_like(idx, 128))
-    sub = jax.lax.div(idx, jnp.full_like(idx, 128))
-    g = jnp.zeros((8, 128), xw.dtype)
+    idx = jax.lax.clamp(jnp.int32(0), idx, jnp.int32(nwin - 1))
+    c128 = jax.lax.full(idx.shape, 128, idx.dtype)
+    lane = jax.lax.rem(idx, c128)
+    sub = jax.lax.div(idx, c128)
+    lane3 = jax.lax.reshape(lane, (8, 128, 1))
+    g = jax.lax.full((8, 128), 0, xw.dtype)
     for s in range(2 * wr):
-        row = jnp.broadcast_to(xw[s][None, :], (8, 128))
-        gs = jnp.take_along_axis(row, lane, axis=1)
-        g = jnp.where(sub == s, gs, g)
+        row = jax.lax.broadcast_in_dim(
+            jax.lax.index_in_dim(xw, s, axis=0, keepdims=False),
+            (8, 128), (1,))
+        gs = jax.lax.gather(
+            row, lane3, _LANE_DNUMS, slice_sizes=(1, 1),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        g = jax.lax.select(
+            jax.lax.eq(sub, jax.lax.full(sub.shape, s, sub.dtype)),
+            gs, g)
     return g
 
 
@@ -391,6 +412,24 @@ def anchored_base(ntiles: int, wr: int, ncols: int,
     # b = round((centre − w)/w) guarantees ≥ w/2 coverage on each side
     base = np.clip((centre - w // 2) // w, 0, max_base)
     return base.astype(np.int32), int(nsrc_pad)
+
+
+@partial(jax.jit, static_argnames=("wrs",))
+def overflow_fracs_device(cols, rownnz, bases, wrs: tuple):
+    """Out-of-window nnz fraction for EVERY anchored-plan candidate in one
+    program: ``bases``: (len(wrs), ntiles) stacked per-candidate window
+    bases.  Replaces one blocking readback per candidate (~50 ms each
+    over the tunnel) with a single readback of len(wrs) floats."""
+    sl = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
+    valid = sl < rownnz[None, :]
+    tile = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 1) // T
+    nval = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    fr = []
+    for i, wr in enumerate(wrs):
+        lo = jnp.take(bases[i], tile, axis=0).astype(jnp.int64) * (wr * 128)
+        inwin = valid & (cols >= lo) & (cols < lo + 2 * wr * 128)
+        fr.append(jnp.sum((valid & ~inwin).astype(jnp.int32)) / nval)
+    return jnp.stack(fr)
 
 
 @partial(jax.jit, static_argnames=("wr",))

@@ -116,10 +116,11 @@ def _max_agg_size(labels: jnp.ndarray):
     return jnp.max(counts[:n])
 
 
-def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
-    """Build both directions' kernel arrays + window plans from a level's
-    (device) label vector.  Host syncs: one scalar (max aggregate size)
-    and the per-tile min/max reductions — all tiny."""
+def transfer_plan_staged(labels: jnp.ndarray, nc_pad: int):
+    """Staged generator (utils/staging.py) building both directions'
+    kernel arrays + window plans from a level's (device) label vector.
+    Host syncs — one scalar (max aggregate size) and the per-tile
+    min/max reductions — are ``yield``\\ ed so peer levels batch them."""
     npad = labels.shape[0]
     npad_f = _round_up(npad, gp.T)
     if npad_f != npad:
@@ -132,49 +133,57 @@ def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
     p_cols = jnp.where(valid, labels, 0).astype(jnp.int32)[None, :]
     p_vals = valid.astype(jnp.float32)[None, :]
     p_rnnz = valid.astype(jnp.int32)
-    cmin, cmax = gp.plan_windows_device(p_cols, p_rnnz, npad_f // gp.T)
-    plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax), nc_pad)
+    (cmin, cmax), km = yield (
+        gp.plan_windows_device(p_cols, p_rnnz, npad_f // gp.T),
+        _max_agg_size(labels))
+    plan = gp.plan_from_minmax(cmin, cmax, nc_pad)
     p_base = p_wr = p_nsrc = None
     if plan is not None:
         b, p_wr, p_nsrc = plan
         p_base = jnp.asarray(b)
 
     # --- restriction members ---
-    km = int(_max_agg_size(labels))
+    km = int(km)
     m_base = m_wr = m_nsrc = None
     m_ov_rows = m_ov_cols = m_ov_vals = None
     if km > 0:
         m_cols, m_vals, m_rnnz, _ = _members_ell(labels, km, nc_t)
-        cmin, cmax = gp.plan_windows_device(m_cols, m_rnnz, nc_t // gp.T)
-        plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax),
-                                   npad_f)
+        cmin, cmax = yield gp.plan_windows_device(m_cols, m_rnnz,
+                                                  nc_t // gp.T)
+        plan = gp.plan_from_minmax(cmin, cmax, npad_f)
         if plan is not None and km * 2 * plan[1] <= 32768:
             b, m_wr, m_nsrc = plan
             m_base = jnp.asarray(b)
         else:
             # outlier members defeat the exact plan: anchor windows on
-            # the coarse diagonal, spill the stragglers to an XLA path
+            # the coarse diagonal, spill the stragglers to an XLA path.
+            # All candidate overflow fractions come back in ONE readback.
             stretch = npad_f / max(nc_t, 1)
-            for wr in (16, 32, 64, 128, 192):
-                if km * 2 * wr > 32768:
-                    break
-                base_np, nsrc = gp.anchored_base(nc_t // gp.T, wr, npad_f,
-                                                 stretch=stretch)
-                base = jnp.asarray(base_np)
-                mc, mv, frac, ov_r, ov_c, ov_v, nov = \
-                    gp.split_overflow_device(m_cols, m_vals, m_rnnz,
-                                             base, wr)
-                if float(frac) > 0.25:
-                    continue
-                m_cols, m_vals = mc, mv
-                m_base, m_wr, m_nsrc = base, wr, nsrc
-                if int(nov) > 0:
-                    n_ov = _round_up(max(int(nov), 1), 1024)
-                    keep = jnp.arange(n_ov) < nov
-                    m_ov_rows = jnp.where(keep, ov_r[:n_ov], 0)
-                    m_ov_cols = jnp.where(keep, ov_c[:n_ov], 0)
-                    m_ov_vals = jnp.where(keep, ov_v[:n_ov], 0.0)
-                break
+            wrs = tuple(wr for wr in (16, 32, 64, 128, 192)
+                        if km * 2 * wr <= 32768)
+            if wrs:
+                cands = [gp.anchored_base(nc_t // gp.T, wr, npad_f,
+                                          stretch=stretch) for wr in wrs]
+                bases = jnp.asarray(np.stack([b for b, _ in cands]))
+                fracs = yield gp.overflow_fracs_device(m_cols, m_rnnz,
+                                                       bases, wrs)
+                chosen = next((i for i, wr in enumerate(wrs)
+                               if float(fracs[i]) <= 0.25), None)
+                if chosen is not None:
+                    wr = wrs[chosen]
+                    base = jnp.asarray(cands[chosen][0])
+                    mc, mv, _, ov_r, ov_c, ov_v, nov_dev = \
+                        gp.split_overflow_device(m_cols, m_vals, m_rnnz,
+                                                 base, wr)
+                    nov = int((yield nov_dev))
+                    m_cols, m_vals = mc, mv
+                    m_base, m_wr, m_nsrc = base, wr, cands[chosen][1]
+                    if nov > 0:
+                        n_ov = _round_up(max(nov, 1), 1024)
+                        keep = jnp.arange(n_ov) < nov
+                        m_ov_rows = jnp.where(keep, ov_r[:n_ov], 0)
+                        m_ov_cols = jnp.where(keep, ov_c[:n_ov], 0)
+                        m_ov_vals = jnp.where(keep, ov_v[:n_ov], 0.0)
     else:
         m_cols = jnp.zeros((1, nc_t), jnp.int32)
         m_vals = jnp.zeros((1, nc_t), jnp.float32)
@@ -184,6 +193,12 @@ def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
                         npad_f=npad_f, nc_pad=nc_pad,
                         m_ov_rows=m_ov_rows, m_ov_cols=m_ov_cols,
                         m_ov_vals=m_ov_vals)
+
+
+def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
+    """Blocking wrapper around :func:`transfer_plan_staged`."""
+    from ..utils.staging import drive
+    return drive([transfer_plan_staged(labels, nc_pad)])[0]
 
 
 def _gather_spmv(cols, vals, x, base, wr, nsrc):

@@ -220,13 +220,14 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
     """
     from ..sparse import hybrid as hyb
     from ..ops import gather_pallas as gp
-    from ..setup.transfers import build_transfer_plan
+    from ..setup.transfers import transfer_plan_staged
+    from ..utils.staging import drive
 
     use_plans = jax.default_backend() == "tpu" or gp.INTERPRET
     mats = [a] + list(coarse_ops)
-    levels = []
+    labs = []
     for l, labels in enumerate(level_labels):
-        fine, coarse = mats[l], mats[l + 1]
+        fine = mats[l]
         lab = jnp.asarray(labels, dtype=jnp.int32)
         if lab.shape[0] < fine.npad:
             lab = jnp.concatenate([
@@ -236,16 +237,38 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
             # on a narrower fine level: rows beyond fine.npad are tail
             # padding (rownnz = 0 ⇒ excluded ⇒ label -1), safe to drop
             lab = lab[: fine.npad]
-        op = hyb.hybrid_from_ell_device(fine) if use_hybrid else fine
-        sm = make_smoother(op, kind=smoother_kind, ell=fine, **smoother_kw)
+        labs.append(lab)
+
+    # build every level's hybrid split + transfer plan as staged
+    # generators driven in lockstep: each stage's host readbacks across
+    # ALL levels batch into one device_get (over the TPU tunnel a
+    # blocking readback is ~50 ms, so the serial per-level form spent
+    # seconds in pure round-trips — utils/staging.py)
+    nlv = len(level_labels)
+    gens = []
+    for l in range(nlv):
+        if use_hybrid:
+            gens.append(hyb.hybrid_staged(mats[l]))
+        if use_plans and p_ops is None:
+            gens.append(transfer_plan_staged(labs[l], mats[l + 1].npad))
+    staged = drive(gens)
+    per_level = (1 if use_hybrid else 0) + (
+        1 if (use_plans and p_ops is None) else 0)
+
+    levels = []
+    for l in range(nlv):
+        fine, coarse = mats[l], mats[l + 1]
+        base = l * per_level
+        op = staged[base] if use_hybrid else fine
         if p_ops is not None:
             from ..setup.transfers import build_transfer_plan_from_p
             tplan = build_transfer_plan_from_p(p_ops[l], pt_ops[l],
                                                coarse.npad)
         else:
-            tplan = build_transfer_plan(lab, coarse.npad) if use_plans \
-                else None
-        levels.append(Level(a=op, labels=lab, smoother=sm, tplan=tplan,
+            tplan = staged[base + (1 if use_hybrid else 0)] \
+                if use_plans else None
+        sm = make_smoother(op, kind=smoother_kind, ell=fine, **smoother_kw)
+        levels.append(Level(a=op, labels=labs[l], smoother=sm, tplan=tplan,
                             nc_pad=coarse.npad))
     return Hierarchy(levels=tuple(levels),
                      coarse=make_coarse_solve(mats[-1]),

@@ -135,9 +135,10 @@ USE_PALLAS_GATHER = True
 _PLAN_UNROLL_BUDGET = 32768
 
 
-def _attach_gather_plan(ell: ELL | None):
-    """Pad the remainder to a 1024-row multiple and compute the windowed-
-    gather plan.  Returns (ell, base_blk, wr, nsrc_pad, ov).
+def _attach_plan_staged(ell: ELL | None):
+    """Staged generator (utils/staging.py) padding the remainder to a
+    1024-row multiple and computing the windowed-gather plan.  Returns
+    (ell, base_blk, wr, nsrc_pad, ov).
 
     Exact plan first (window covers every stored column); when outliers
     defeat it, a *split* plan: diagonal-anchored windows, out-of-window
@@ -157,42 +158,55 @@ def _attach_gather_plan(ell: ELL | None):
                   rownnz=jnp.pad(ell.rownnz, (0, npad_t - ell.npad)),
                   nrows=ell.nrows, ncols=ell.ncols)
     ntiles = npad_t // gp.T
-    cmin, cmax = gp.plan_windows_device(ell.cols, ell.rownnz, ntiles)
-    plan = gp.plan_from_minmax(np.asarray(cmin), np.asarray(cmax), ell.ncols)
+    cmin, cmax = yield gp.plan_windows_device(ell.cols, ell.rownnz, ntiles)
+    plan = gp.plan_from_minmax(cmin, cmax, ell.ncols)
     if plan is not None and ell.k * 2 * plan[1] <= _PLAN_UNROLL_BUDGET:
         base_blk, wr, nsrc_pad = plan
         return ell, jnp.asarray(base_blk), wr, nsrc_pad, None
     # ---- split fallback: pick the candidate minimising the modelled
     # SpMV cost (kernel ≈ 0.09 ns/elem · wr/16; overflow COO ≈ 14
-    # ns/straggler on the XLA path) ----
+    # ns/straggler on the XLA path).  All candidate overflow fractions
+    # come back in ONE readback. ----
+    wrs = tuple(wr for wr in (16, 32, 64, 128, 192)
+                if ell.k * 2 * wr <= _PLAN_UNROLL_BUDGET)
+    if not wrs:
+        return ell, None, None, None, None
+    cands = [gp.anchored_base(ntiles, wr, ell.ncols) for wr in wrs]
+    bases = jnp.asarray(np.stack([b for b, _ in cands]))
+    fracs = yield gp.overflow_fracs_device(ell.cols, ell.rownnz, bases, wrs)
     best = None
-    for wr in (16, 32, 64, 128, 192):
-        if ell.k * 2 * wr > _PLAN_UNROLL_BUDGET:
-            break
-        base_np, nsrc_pad = gp.anchored_base(ntiles, wr, ell.ncols)
-        base = jnp.asarray(base_np)
-        out = gp.split_overflow_device(ell.cols, ell.vals, ell.rownnz,
-                                       base, wr)
-        frac = float(out[2])
+    for i, wr in enumerate(wrs):
+        frac = float(fracs[i])
         if frac > 0.25:
             continue
         cost = 0.09 * (wr / 16.0) + frac * 14.0     # ns per stored elem
         if best is None or cost < best[0]:
-            best = (cost, wr, base, nsrc_pad, out)
+            best = (cost, i, wr)
     if best is None:
         return ell, None, None, None, None
-    _, wr, base, nsrc_pad, out = best
-    mc, mv, _, ov_r, ov_c, ov_v, nov = out
+    _, i, wr = best
+    base, nsrc_pad = jnp.asarray(cands[i][0]), cands[i][1]
+    out = gp.split_overflow_device(ell.cols, ell.vals, ell.rownnz,
+                                   base, wr)
+    mc, mv, _, ov_r, ov_c, ov_v, nov_dev = out
+    nov = int((yield nov_dev))
     main = ELL(cols=mc, vals=mv, rownnz=ell.rownnz,
                nrows=ell.nrows, ncols=ell.ncols)
     ov = None
-    if int(nov) > 0:
-        n_ov = _round_up(max(int(nov), 1), 1024)
+    if nov > 0:
+        n_ov = _round_up(max(nov, 1), 1024)
         keep = jnp.arange(n_ov) < nov
         ov = (jnp.where(keep, ov_r[:n_ov], 0),
               jnp.where(keep, ov_c[:n_ov], 0),
               jnp.where(keep, ov_v[:n_ov], 0.0))
     return main, base, wr, nsrc_pad, ov
+
+
+def _attach_gather_plan(ell: ELL | None):
+    """Blocking wrapper around :func:`_attach_plan_staged` for one-shot
+    callers (checkpoint reload)."""
+    from ..utils.staging import drive
+    return drive([_attach_plan_staged(ell)])[0]
 
 
 def _ell_remainder_spmv(a: HYB, x: jnp.ndarray) -> jnp.ndarray:
@@ -283,15 +297,12 @@ def row_mask(a: HYB) -> jnp.ndarray:
     ri = jax.lax.broadcasted_iota(jnp.int32, (1, a.npad), 1)[0]
     return ri < a.nrows
 
-def _candidate_offsets_from_sample(a: ELL, max_diags: int,
-                                   min_fill: float) -> list[int]:
-    """Host-side offset detection from a small row sample (tiny D2H)."""
-    n = a.nrows
-    stride = max(1, a.npad // 4096)
-    sample_cols = np.asarray(a.cols[:, ::stride])
-    sample_nnz = np.asarray(a.rownnz[::stride])
-    rows = np.arange(a.npad, dtype=np.int64)[::stride]
-    k = a.k
+def _offsets_from_host_sample(sample_cols: np.ndarray,
+                              sample_nnz: np.ndarray, rows: np.ndarray,
+                              n: int, npad: int, max_diags: int,
+                              min_fill: float) -> list[int]:
+    """Host-side offset detection from a fetched row sample."""
+    k = sample_cols.shape[0]
     valid = (np.arange(k)[:, None] < sample_nnz[None, :]) & \
             (rows[None, :] < n)
     offs = sample_cols.astype(np.int64) - rows[None, :]
@@ -301,44 +312,53 @@ def _candidate_offsets_from_sample(a: ELL, max_diags: int,
     # an offset qualifies if its nnz share suggests ≥ min_fill·n entries
     avg_k = nsample / max(len(np.unique(rows[rows < n])), 1)
     keep = [int(o) for o, f in zip(vals, frac)
-            if f * avg_k >= min_fill and abs(int(o)) < a.npad]
+            if f * avg_k >= min_fill and abs(int(o)) < npad]
     keep = sorted(keep, key=lambda o: -frac[list(vals).index(o)])[:max_diags]
     return sorted(keep)
 
 
-def hybrid_from_ell_device(a: ELL, max_diags: int = 48,
-                           min_fill: float = 0.02) -> HYB:
-    """Device-side DIA/ELL split: offsets detected from a sampled sliver of
-    the column array (one tiny transfer), the split itself built with
-    masked reductions and one small-extent per-row sort — no nnz-sized
-    host round-trip (the naive path pulls the whole matrix through the
-    host at tunnel bandwidth)."""
-    offsets = _candidate_offsets_from_sample(a, max_diags, min_fill)
+@partial(jax.jit, static_argnames=("offs",))
+def _split_by_offsets(a: ELL, offs: tuple):
+    """Masked-reduction DIA extraction + remainder compaction (one small-
+    extent per-row sort).  Module-level jit: the old per-call closure got
+    a fresh jit wrapper every call and re-traced even warm."""
+    ri = a.row_iota()
+    mask = a.slot_mask()
+    slot_off = a.cols - ri
+    covered = jnp.zeros_like(mask)
+    dvals = []
+    for o in offs:
+        hit = mask & (slot_off == o)
+        dvals.append(jnp.sum(jnp.where(hit, a.vals, 0.0), axis=0))
+        covered = covered | hit
+    dvals = jnp.stack(dvals) if offs else \
+        jnp.zeros((0, a.npad), a.vals.dtype)
+    # compact the remainder: keep non-covered valid slots first
+    keep = mask & ~covered
+    key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    _, rcols, rvals = jax.lax.sort(
+        (key, a.cols, a.vals), dimension=0, num_keys=1, is_stable=True)
+    rnnz = jnp.sum(keep.astype(jnp.int32), axis=0)
+    rmax = jnp.max(rnnz)
+    return dvals, rcols, rvals, rnnz, rmax
 
-    @partial(jax.jit, static_argnames=("offs",))
-    def split(a: ELL, offs: tuple):
-        ri = a.row_iota()
-        mask = a.slot_mask()
-        slot_off = a.cols - ri
-        covered = jnp.zeros_like(mask)
-        dvals = []
-        for o in offs:
-            hit = mask & (slot_off == o)
-            dvals.append(jnp.sum(jnp.where(hit, a.vals, 0.0), axis=0))
-            covered = covered | hit
-        dvals = jnp.stack(dvals) if offs else \
-            jnp.zeros((0, a.npad), a.vals.dtype)
-        # compact the remainder: keep non-covered valid slots first
-        keep = mask & ~covered
-        key = jnp.where(keep, 0, 1).astype(jnp.int32)
-        _, rcols, rvals = jax.lax.sort(
-            (key, a.cols, a.vals), dimension=0, num_keys=1, is_stable=True)
-        rnnz = jnp.sum(keep.astype(jnp.int32), axis=0)
-        rmax = jnp.max(rnnz)
-        return dvals, rcols, rvals, rnnz, rmax
 
-    dvals, rcols, rvals, rnnz, rmax = split(a, tuple(offsets))
-    k_rest = int(rmax)
+def hybrid_staged(a: ELL, max_diags: int = 48, min_fill: float = 0.02):
+    """Staged-generator DIA/ELL split (drive with utils/staging.py):
+    offsets detected from a sampled sliver of the column array (one tiny
+    transfer), the split itself built with masked reductions and one
+    small-extent per-row sort — no nnz-sized host round-trip, and every
+    host decision point is a ``yield`` so peer levels' readbacks batch
+    into one sync per stage."""
+    stride = max(1, a.npad // 4096)
+    sample_cols, sample_nnz = yield (a.cols[:, ::stride],
+                                     a.rownnz[::stride])
+    rows = np.arange(a.npad, dtype=np.int64)[::stride]
+    offsets = _offsets_from_host_sample(sample_cols, sample_nnz, rows,
+                                        a.nrows, a.npad, max_diags,
+                                        min_fill)
+    dvals, rcols, rvals, rnnz, rmax = _split_by_offsets(a, tuple(offsets))
+    k_rest = int((yield rmax))
     ell = None
     if k_rest > 0:
         # zero both cols and vals of invalid slots (the sorted leftovers
@@ -348,10 +368,17 @@ def hybrid_from_ell_device(a: ELL, max_diags: int = 48,
         ell = ELL(cols=jnp.where(ok, rcols[:k_rest], 0),
                   vals=jnp.where(ok, rvals[:k_rest], 0.0),
                   rownnz=rnnz, nrows=a.nrows, ncols=a.ncols)
-    ell, base_blk, wr, nsrc_pad, ov = _attach_gather_plan(ell)
+    ell, base_blk, wr, nsrc_pad, ov = yield from _attach_plan_staged(ell)
     return HYB(dvals=dvals, ell=ell, base_blk=base_blk, ov=ov,
                offsets=tuple(offsets), nrows=a.nrows, ncols=a.ncols,
                wr=wr, nsrc_pad=nsrc_pad)
+
+
+def hybrid_from_ell_device(a: ELL, max_diags: int = 48,
+                           min_fill: float = 0.02) -> HYB:
+    """Blocking wrapper around :func:`hybrid_staged` for one-shot use."""
+    from ..utils.staging import drive
+    return drive([hybrid_staged(a, max_diags, min_fill)])[0]
 
 
 def merge_overflow_host(a: HYB) -> HYB:
