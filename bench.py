@@ -31,6 +31,7 @@ def main():
     # minutes for the large setup programs; cache them on disk so repeated
     # bench runs pay only once per program shape.
     from multigridsolver_tpu.utils.cache import enable_persistent_cache
+    from multigridsolver_tpu.utils.timing import device_sync
     enable_persistent_cache()
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     import jax.numpy as jnp
@@ -64,7 +65,7 @@ def main():
 
     t0 = time.perf_counter()
     ell = a.to_ell(dtype=jnp.float32)
-    jax.block_until_ready(ell.vals)
+    device_sync(ell.vals)
     log(f"[bench] H2D + pack ELL: {time.perf_counter()-t0:.2f}s")
 
     # round 1 used npass=4 because coarse-level work was gather-bound; the
@@ -79,13 +80,13 @@ def main():
     # --- setup phase (aggregation) ---
     t0 = time.perf_counter()
     setup = build_amg_setup(ell, cfg)
-    jax.block_until_ready(setup.matrices[-1].vals)
+    device_sync(setup.matrices[-1].vals)
     setup_cold = time.perf_counter() - t0
     setup_warm = 1e9          # best of 2 (tunnel jitter, see SpMV note)
     for _ in range(2):
         t0 = time.perf_counter()
         setup = build_amg_setup(ell, cfg)
-        jax.block_until_ready(setup.matrices[-1].vals)
+        device_sync(setup.matrices[-1].vals)
         setup_warm = min(setup_warm, time.perf_counter() - t0)
     sizes = [m.nrows for m in setup.matrices]
     log(f"[bench] setup: cold={setup_cold:.3f}s warm={setup_warm:.3f}s "
@@ -99,7 +100,7 @@ def main():
                             setup.matrices[1:], smoother_kind="chebyshev",
                             cycle="kcycle", pre_smooth=1, post_smooth=1,
                             degree=3, kcycle_depth=3)
-        jax.block_until_ready(h.coarse.lu)
+        device_sync(h.coarse.lu)
         return h
 
     t0 = time.perf_counter()
@@ -117,7 +118,7 @@ def main():
     b = rs.rand(a.nrows)
     res = solve_hierarchy(hier, b, method="bicgstab", tol=1e-6,
                           maxiter=200)
-    jax.block_until_ready(res.x)
+    device_sync(res.x)
     # best of 3: the tunnel adds 100-400 ms of per-dispatch jitter that
     # has nothing to do with device time
     solve_s = 1e9
@@ -125,7 +126,7 @@ def main():
         t0 = time.perf_counter()
         res = solve_hierarchy(hier, b, method="bicgstab", tol=1e-6,
                               maxiter=200)
-        jax.block_until_ready(res.x)
+        device_sync(res.x)
         solve_s = min(solve_s, time.perf_counter() - t0)
     log(f"[bench] solve: {solve_s:.3f}s iters={int(res.iterations)} "
         f"relres={float(res.relres):.2e} status={int(res.status)}")
@@ -186,7 +187,10 @@ def main():
         a80 = csky3d(80)
         log(f"[bench] csky3d(80): n={a80.nrows} nnz={a80.nnz} "
             f"({time.perf_counter()-t0:.1f}s to generate)")
-        ell80 = a80.to_ell(dtype=jnp.float32)
+        # union-symmetrized pattern + aligned transposed-value field: the
+        # nonsymmetric setup then reads aji as a field instead of running
+        # the O(K^2 n) transpose-matching pass per level
+        ell80 = a80.to_ell(dtype=jnp.float32, with_transpose=True)
         t0 = time.perf_counter()
         setup80 = build_amg_setup(ell80, HierarchyConfig(
             max_coarse_size=512,
@@ -196,13 +200,13 @@ def main():
                                  smoother_kind="chebyshev", cycle="kcycle",
                                  pre_smooth=1, post_smooth=1, degree=3,
                                  kcycle_depth=3)
-        jax.block_until_ready(hier80.coarse.lu)
+        device_sync(hier80.coarse.lu)
         sky_setup = time.perf_counter() - t0
         t0 = time.perf_counter()
         setup80w = build_amg_setup(ell80, HierarchyConfig(
             max_coarse_size=512,
             aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0)))
-        jax.block_until_ready(setup80w.matrices[-1].vals)
+        device_sync(setup80w.matrices[-1].vals)
         sky_setup_warm = time.perf_counter() - t0
         b80 = rs.rand(a80.nrows)
         x80, relres80, inner80, outer80 = solve_refined(
@@ -237,16 +241,16 @@ def main():
         log(f"[bench] poisson3500: n={a35.nrows} nnz={a35.nnz} "
             f"({time.perf_counter()-t0:.1f}s to generate)")
         ell35 = a35.to_ell(dtype=jnp.float32)
-        jax.block_until_ready(ell35.vals)
+        device_sync(ell35.vals)
         t0 = time.perf_counter()
         s35 = build_amg_setup(ell35, cfg)
-        jax.block_until_ready(s35.matrices[-1].vals)
+        device_sync(s35.matrices[-1].vals)
         p35_cold = time.perf_counter() - t0
         p35_warm = 1e9
         for _ in range(2):
             t0 = time.perf_counter()
             s35 = build_amg_setup(ell35, cfg)
-            jax.block_until_ready(s35.matrices[-1].vals)
+            device_sync(s35.matrices[-1].vals)
             p35_warm = min(p35_warm, time.perf_counter() - t0)
         log(f"[bench] poisson3500 setup: cold={p35_cold:.2f}s "
             f"warm={p35_warm:.2f}s levels="

@@ -45,7 +45,10 @@ def cmd_setup(args):
 
     a = read_mtx(_matrix_path(args, args.matrix))
     print_info("matrix", f"{a.nrows}x{a.ncols}, nnz={a.nnz}")
-    ell = a.to_ell(dtype=jnp.float32 if args.f32 else jnp.float64)
+    # carry the transposed-value field (free aji reads in the setup; on
+    # structurally symmetric inputs the pattern is unchanged)
+    ell = a.to_ell(dtype=jnp.float32 if args.f32 else jnp.float64,
+                   with_transpose=True)
     cfg = AggregationConfig(ktg=args.ktg, npass=args.npass, tou=args.tou,
                             matching=args.matching,
                             check_tentagg=args.check_tentagg)

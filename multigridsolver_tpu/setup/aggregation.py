@@ -111,7 +111,7 @@ def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int,
     base_m = jnp.clip(mem_cmin[:ntb] // w, 0, max_base)
     fits = (jnp.all(mem_cmax[:ntb] < (base_m.astype(jnp.int64) + 2) * w)
             & (nc <= nc_bound))
-    cols, vals, rownnz, info = galerkin_pair_arrays(
+    cols, vals, rownnz, info, vt = galerkin_pair_arrays(
         a, paired, labels, nc_bound, base_m, wr_m, nsrc_m)
     if wr_c > 0 and info.shape[0] > 2:
         wc = wr_c * 128
@@ -127,7 +127,7 @@ def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int,
     packed = jnp.concatenate([
         jnp.stack([info[0], info[1], fits.astype(jnp.int32),
                    plan_ok.astype(jnp.int32)]), info[2:]])
-    return cols, vals, rownnz, base_c, packed
+    return cols, vals, rownnz, base_c, packed, vt
 
 
 @jax.jit
@@ -136,9 +136,10 @@ def _concat_packed(*ps):
 
 
 @partial(jax.jit, static_argnames=("kc_eff", "nc_pad"))
-def _slice_coarse(cols, vals, rownnz, kc_eff: int, nc_pad: int):
+def _slice_coarse(cols, vals, rownnz, kc_eff: int, nc_pad: int, vt=None):
     return (cols[:kc_eff, :nc_pad], vals[:kc_eff, :nc_pad],
-            jnp.minimum(rownnz[:nc_pad], kc_eff).astype(jnp.int32))
+            jnp.minimum(rownnz[:nc_pad], kc_eff).astype(jnp.int32),
+            vt[:kc_eff, :nc_pad] if vt is not None else None)
 
 
 @partial(jax.jit, static_argnames=("ktg", "checkdd", "trspos",
@@ -281,15 +282,16 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
     pass1_state = {}
 
     def _slice_with_plan(cols, vals, rownnz, nc: int, max_deg: int,
-                         ocmin: np.ndarray, ocmax: np.ndarray):
+                         ocmin: np.ndarray, ocmax: np.ndarray, vt=None):
         """Trim a bound-shaped coarse result to (kc_eff, nc_pad) and
         attach the exact host window plan from the packed min/max."""
         from ..ops import gather_pallas as gp
         from ..sparse.formats import plans_enabled
         nc_pad = max(((nc + 1023) // 1024) * 1024, 1024)
         kc_eff = max(max_deg, 1)
-        c, v, rn = _slice_coarse(cols, vals, rownnz, kc_eff, nc_pad)
-        ell_c = ELL(cols=c, vals=v, rownnz=rn, nrows=nc, ncols=nc)
+        c, v, rn, t = _slice_coarse(cols, vals, rownnz, kc_eff, nc_pad, vt)
+        ell_c = ELL(cols=c, vals=v, rownnz=rn, nrows=nc, ncols=nc,
+                    vals_t=t)
         ntc = nc_pad // 1024
         if plans_enabled():
             plan = gp.plan_from_minmax(ocmin[:ntc], ocmax[:ntc], nc)
@@ -334,15 +336,15 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                 bool(cfg.symmetric), str(cfg.mu_mode))
         paired1, labels1, packed1, si, zerors = _match_pass(
             mat, True, *args)
-        c1c, c1v, c1r, base_c1, packed2 = _galerkin_bound(
+        c1c, c1v, c1r, base_c1, packed2, c1t = _galerkin_bound(
             mat, paired1, labels1, wr_g, ncb, wr_c=wr_c1)
         wc = wr_c1 * 128
         nsrc_c1 = ((ncb + 2 * wc + 127) // 128) * 128
         c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=ncb, ncols=ncb,
-                 base_blk=base_c1, wr=wr_c1, nsrc=nsrc_c1)
+                 base_blk=base_c1, wr=wr_c1, nsrc=nsrc_c1, vals_t=c1t)
         wr_g2 = min(192, 2 * wr_g)
         paired2, labels2, packed3, _, _ = _match_pass(c1, False, *args)
-        c2c, c2v, c2r, _, packed4 = _galerkin_bound(
+        c2c, c2v, c2r, _, packed4, c2t = _galerkin_bound(
             c1, paired2, labels2, wr_g2, ncb)
         labels_r = compose_labels(labels1, labels2)
         p = np.asarray(_concat_packed(packed1, packed2, packed3, packed4))
@@ -363,14 +365,14 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                  or (cfg.max_restriction and nc1 < cfg.max_restriction))
         if exit1 or cfg.npass == 1:
             ell1 = _slice_with_plan(c1c, c1v, c1r, nc1, deg1,
-                                    oc1[:ntb], oc1[ntb:])
+                                    oc1[:ntb], oc1[ntb:], vt=c1t)
             return labels1, nc1, ell1, [PassInfo(nc=nc1, nnz=nnz1)]
         if not plan_ok1 or not fits2 or nc2 <= 0:
             # pass-2 gathers may have read junk (plan_ok1) or its member
             # windows overflowed: keep the valid pass 1, redo pass 2 the
             # per-pass way on the trimmed operator
             ell1 = _slice_with_plan(c1c, c1v, c1r, nc1, deg1,
-                                    oc1[:ntb], oc1[ntb:])
+                                    oc1[:ntb], oc1[ntb:], vt=c1t)
             paired, labels2b, nc2b, m_plan = run_pass(
                 ell1, False, pass_no=2, cum_labels=labels1)
             ell2, nnz2b = galerkin_pair_ell(ell1, paired, labels2b, nc2b,
@@ -379,7 +381,7 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
             return labels_r2, nc2b, ell2, [PassInfo(nc=nc1, nnz=nnz1),
                                            PassInfo(nc=nc2b, nnz=nnz2b)]
         ell2 = _slice_with_plan(c2c, c2v, c2r, nc2, deg2,
-                                oc2[:ntb], oc2[ntb:])
+                                oc2[:ntb], oc2[ntb:], vt=c2t)
         return labels_r, nc2, ell2, [PassInfo(nc=nc1, nnz=nnz1),
                                      PassInfo(nc=nc2, nnz=nnz2)]
 
@@ -484,22 +486,25 @@ _TAIL_NSRC = _TAIL_NPAD + 2 * _TAIL_W
 
 
 @partial(jax.jit, static_argnames=("k_in",))
-def _tail_pad(cols, vals, rownnz, k_in: int):
+def _tail_pad(cols, vals, rownnz, k_in: int, vt=None):
     """Pad an entry operator to the tail shape (_TAIL_K, _TAIL_NPAD)."""
     k, npad = cols.shape
     cols = jnp.pad(cols, ((0, _TAIL_K - k), (0, _TAIL_NPAD - npad)))
     vals = jnp.pad(vals, ((0, _TAIL_K - k), (0, _TAIL_NPAD - npad)))
     rownnz = jnp.pad(rownnz, (0, _TAIL_NPAD - npad))
-    return cols, vals, rownnz
+    if vt is not None:
+        vt = jnp.pad(vt, ((0, _TAIL_K - k), (0, _TAIL_NPAD - npad)))
+    return cols, vals, rownnz, vt
 
 
 @jax.jit
-def _tail_kslice(cols, vals, rownnz):
+def _tail_kslice(cols, vals, rownnz, vt=None):
     """Trim a (2·_TAIL_K, _TAIL_NPAD) bound Galerkin result back to the
     tail slot count (entries are slot-compacted, so this only drops rows
     deeper than _TAIL_K — flagged via max_deg in the packed readback)."""
     return (cols[:_TAIL_K], vals[:_TAIL_K],
-            jnp.minimum(rownnz, _TAIL_K).astype(jnp.int32))
+            jnp.minimum(rownnz, _TAIL_K).astype(jnp.int32),
+            vt[:_TAIL_K] if vt is not None else None)
 
 
 def _tail_enter(ell: ELL):
@@ -508,7 +513,8 @@ def _tail_enter(ell: ELL):
     if (ell.base_blk is None or ell.wr is None or ell.wr > _TAIL_WR
             or ell.npad > _TAIL_NPAD or ell.k > _TAIL_K):
         return None
-    cols, vals, rownnz = _tail_pad(ell.cols, ell.vals, ell.rownnz, ell.k)
+    cols, vals, rownnz, vt = _tail_pad(ell.cols, ell.vals, ell.rownnz,
+                                       ell.k, ell.vals_t)
     base = np.zeros((_TAIL_NPAD // 1024,), np.int32)
     # a wr ≤ 32 window [b·w, b·w + 2w) is always covered by the _TAIL_WR
     # window starting at floor(b·w / W) (2w ≤ W + w ≤ 2W)
@@ -516,7 +522,7 @@ def _tail_enter(ell: ELL):
     base[: old.shape[0]] = old
     return ELL(cols=cols, vals=vals, rownnz=rownnz, nrows=_TAIL_NPAD,
                ncols=_TAIL_NPAD, base_blk=jnp.asarray(base), wr=_TAIL_WR,
-               nsrc=_TAIL_NSRC)
+               nsrc=_TAIL_NSRC, vals_t=vt)
 
 
 def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
@@ -542,19 +548,19 @@ def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
     cur = mat
     while n_disp < max_rounds and (est > max_coarse_size or n_disp == 0):
         paired1, labels1, packed1, _, _ = _match_pass(cur, True, *args)
-        c1c, c1v, c1r, base1, packed2 = _galerkin_bound(
+        c1c, c1v, c1r, base1, packed2, c1t = _galerkin_bound(
             cur, paired1, labels1, _TAIL_WR, _TAIL_NPAD, wr_c=_TAIL_WR)
-        c1c, c1v, c1r = _tail_kslice(c1c, c1v, c1r)
+        c1c, c1v, c1r, c1t = _tail_kslice(c1c, c1v, c1r, c1t)
         c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=_TAIL_NPAD,
                  ncols=_TAIL_NPAD, base_blk=base1, wr=_TAIL_WR,
-                 nsrc=_TAIL_NSRC)
+                 nsrc=_TAIL_NSRC, vals_t=c1t)
         paired2, labels2, packed3, _, _ = _match_pass(c1, False, *args)
-        c2c, c2v, c2r, base2, packed4 = _galerkin_bound(
+        c2c, c2v, c2r, base2, packed4, c2t = _galerkin_bound(
             c1, paired2, labels2, _TAIL_WR, _TAIL_NPAD, wr_c=_TAIL_WR)
-        c2c, c2v, c2r = _tail_kslice(c2c, c2v, c2r)
+        c2c, c2v, c2r, c2t = _tail_kslice(c2c, c2v, c2r, c2t)
         c2 = ELL(cols=c2c, vals=c2v, rownnz=c2r, nrows=_TAIL_NPAD,
                  ncols=_TAIL_NPAD, base_blk=base2, wr=_TAIL_WR,
-                 nsrc=_TAIL_NSRC)
+                 nsrc=_TAIL_NSRC, vals_t=c2t)
         labels_r = compose_labels(labels1, labels2)
         chain.append(dict(labels1=labels1, labels_r=labels_r, c1=c1, c2=c2))
         packeds += [packed1, packed2, packed3, packed4]

@@ -188,6 +188,12 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     # then fetch whole relabelled member rows via the members plan
     lc_fine = ell_ops.take_neighbor(a, jnp.where(active, labels, -1))
     vals_f32 = a.vals.astype(jnp.float32) if m_wr is not None else a.vals
+    # union-symmetric transposed field (ELL.vals_t): merged over the SAME
+    # slot pattern, which yields exactly Ac[J,I] per coarse slot (I,J) —
+    # so coarse levels inherit the field and never run a transpose pass
+    union = a.vals_t is not None
+    vt_f32 = (a.vals_t.astype(jnp.float32)
+              if union and m_wr is not None else a.vals_t)
 
     def member_rows(members):
         cols_m = ell_ops.take_member_rows(members, lc_fine,
@@ -199,24 +205,40 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
         sl = jax.lax.broadcasted_iota(jnp.int32, cols_m.shape, 0)
         ok = (sl < nnz_m[None, :]) & real[None, :]
         ok = ok & (cols_m >= 0)        # excluded / junk columns dropped
+        vt_m = None
+        if union:
+            vt_m = ell_ops.take_member_rows(members, vt_f32,
+                                            m_base, m_wr, m_nsrc)
+            vt_m = jnp.where(ok, vt_m.astype(a.vals.dtype), 0.0)
         return (jnp.where(ok, cols_m, nc),
-                jnp.where(ok, vals_m.astype(a.vals.dtype), 0.0))
+                jnp.where(ok, vals_m.astype(a.vals.dtype), 0.0), vt_m)
 
-    c1, v1 = member_rows(safe_leader)
-    c2, v2 = member_rows(partner_of)
+    c1, v1, t1 = member_rows(safe_leader)
+    c2, v2, t2 = member_rows(partner_of)
     c2 = jnp.where(has_partner[None, :], c2, nc)         # mask duplicates
     v2 = jnp.where(has_partner[None, :], v2, 0.0)
     cand_c = jnp.concatenate([c1, c2], axis=0)           # (2K, nc)
     cand_v = jnp.concatenate([v1, v2], axis=0)
     # sort each column's 2K candidates by coarse col (invalid = nc last)
-    cand_c, cand_v = jax.lax.sort((cand_c, cand_v), dimension=0, num_keys=1)
+    if union:
+        t2 = jnp.where(has_partner[None, :], t2, 0.0)
+        cand_t = jnp.concatenate([t1, t2], axis=0)
+        cand_c, cand_v, cand_t = jax.lax.sort(
+            (cand_c, cand_v, cand_t), dimension=0, num_keys=1)
+    else:
+        cand_c, cand_v = jax.lax.sort((cand_c, cand_v), dimension=0,
+                                      num_keys=1)
     # run-length sum of equal adjacent cols: suffix accumulation (2K steps,
     # statically unrolled — 2K ≤ 64)
     m2 = 2 * k
     merged = cand_v
+    merged_t = cand_t if union else None
     for s in range(m2 - 2, -1, -1):
         same = cand_c[s] == cand_c[s + 1]
         merged = merged.at[s].add(jnp.where(same, merged[s + 1], 0.0))
+        if union:
+            merged_t = merged_t.at[s].add(
+                jnp.where(same, merged_t[s + 1], 0.0))
     first = jnp.concatenate([
         jnp.ones((1, cand_c.shape[1]), bool),
         cand_c[1:] != cand_c[:-1]], axis=0)
@@ -235,6 +257,8 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
                     dtype=jnp.int32)
     out_v = jnp.sum(jnp.where(sel, merged[None], 0.0), axis=1,
                     dtype=merged.dtype)
+    out_t = jnp.sum(jnp.where(sel, merged_t[None], 0.0), axis=1,
+                    dtype=merged.dtype) if union else None
     head = jnp.stack([jnp.sum(rownnz), jnp.max(rownnz)]).astype(jnp.int32)
     # the coarse operator's own window-plan min/max per 1024-row tile
     # (identity-covered), packed into the same readback
@@ -253,7 +277,7 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
         info = jnp.concatenate([head, ocmin, ocmax])
     else:
         info = head
-    return out_c, out_v, rownnz, info
+    return out_c, out_v, rownnz, info, out_t
 
 
 def member_window_minmax(labels: jnp.ndarray):
@@ -317,7 +341,7 @@ def galerkin_pair_ell(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     nc_pad = max(((nc_true + row_pad - 1) // row_pad) * row_pad, row_pad)
     m_base, m_wr, m_nsrc = m_plan if m_plan is not None else (None, None,
                                                              None)
-    cols, vals, rownnz, info = jax.jit(
+    cols, vals, rownnz, info, vt = jax.jit(
         galerkin_pair_arrays, static_argnums=(3, 5, 6))(
         a, paired, labels, nc_pad, m_base, m_wr, m_nsrc)
     from ..parallel.multihost import host_read
@@ -326,7 +350,8 @@ def galerkin_pair_ell(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
     kc_eff = max(int(info_np[1]), 1)
     ell = ELL(cols=cols[:kc_eff], vals=vals[:kc_eff],
               rownnz=jnp.minimum(rownnz, kc_eff).astype(jnp.int32),
-              nrows=nc_true, ncols=nc_true)
+              nrows=nc_true, ncols=nc_true,
+              vals_t=vt[:kc_eff] if vt is not None else None)
     multishard = getattr(getattr(cols, "sharding", None), "device_set",
                          None)
     if (info_np.shape[0] > 2 and plans_enabled()

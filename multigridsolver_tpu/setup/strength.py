@@ -52,6 +52,10 @@ def si_vector(a: ELL) -> jnp.ndarray:
     return -(rs + cs) / 2.0
 
 
+def nondiag_mask(a: ELL) -> jnp.ndarray:
+    return a.slot_mask() & (a.cols != a.row_iota())
+
+
 def g0_mask(a: ELL, diag: jnp.ndarray, ktg: float,
             checkdd: float = -0.5, vals_t=None, has_pair=None
             ) -> jnp.ndarray:
@@ -190,10 +194,22 @@ def compute_strength(a: ELL, ktg: float, first_pass: bool,
     if symmetric:
         vals_t = a.vals
         has_pair = a.slot_mask()
+    elif a.vals_t is not None:
+        # union-symmetric pattern carrying the aᵀ field (ELL.vals_t):
+        # every stored (i,j) has its (j,i) stored too, so the pair always
+        # exists and the transposed value is a free field read
+        vals_t = a.vals_t
+        has_pair = a.slot_mask()
     else:
         vals_t, has_pair = ops.transposed_slot_values(a, with_pairs=True)
     if symmetric:
         si = -ops.row_sum(a, skip_diag=True)
+    elif a.vals_t is not None:
+        # union fields: the column sum of row i is Σ vals_t over i's own
+        # slots (every (j,i) stored ⇒ slot (i,j) exists) — no scatter
+        offd = nondiag_mask(a)
+        si = -jnp.sum(jnp.where(offd, (a.vals + vals_t) / 2.0, 0.0),
+                      axis=0)
     else:
         si = si_vector(a)
     # "real row" = inside the logical extent AND stores at least one entry

@@ -177,7 +177,7 @@ class CSR:
                    data=np.asarray(m.data), shape=m.shape)
 
     def to_ell(self, k: int | None = None, row_pad: int = 1024,
-               dtype=jnp.float32) -> "ELL":
+               dtype=jnp.float32, with_transpose: bool = False) -> "ELL":
         """Pack into the padded ELL device format.
 
         ``k`` defaults to the max row degree; rows are padded to a multiple
@@ -185,7 +185,53 @@ class CSR:
         (8 sublanes × 128 lanes, one f32 vreg) makes every ELL eligible for
         the windowed-gather kernel, whose plan is attached here when the
         column pattern admits one (TPU backend only).
+
+        ``with_transpose``: union-symmetrize the PATTERN (explicit zeros
+        where only the transposed entry exists) and attach the aligned
+        transposed-value field ``vals_t`` — the nonsymmetric setup path
+        then never runs a transpose-matching pass (see ELL.vals_t).  On
+        structurally symmetric inputs (every reference benchmark) the
+        pattern is unchanged.
         """
+        if with_transpose:
+            import scipy.sparse as sps
+            a_sp = self.to_scipy().tocsr()
+            a_sp.sort_indices()
+            at_sp = a_sp.T.tocsr()
+            at_sp.sort_indices()
+            # union of STORED patterns (explicit zeros are legal stored
+            # entries — e.g. the shipped poisson grid files — and must
+            # stay aligned between the two fields).  Built with ones data
+            # so scipy's binop never prunes, then both value fields are
+            # scattered onto the union positions by sorted-key lookup.
+            pat = a_sp.copy()
+            pat.data = np.ones_like(pat.data)
+            patt = at_sp.copy()
+            patt.data = np.ones_like(patt.data)
+            u = (pat + patt).tocsr()
+            u.sort_indices()
+            n, m = u.shape
+            key_u = (np.repeat(np.arange(n, dtype=np.int64),
+                               np.diff(u.indptr)) * m
+                     + u.indices.astype(np.int64))
+
+            def fill(mtx):
+                rows = np.repeat(np.arange(n, dtype=np.int64),
+                                 np.diff(mtx.indptr))
+                key = rows * m + mtx.indices.astype(np.int64)
+                out = np.zeros(u.nnz, dtype=mtx.data.dtype)
+                out[np.searchsorted(key_u, key)] = mtx.data
+                return out
+
+            fwd = sps.csr_matrix((fill(a_sp), u.indices, u.indptr),
+                                 shape=u.shape)
+            bwd = sps.csr_matrix((fill(at_sp), u.indices, u.indptr),
+                                 shape=u.shape)
+            fell = CSR.from_scipy(fwd).to_ell(k=k, row_pad=row_pad,
+                                              dtype=dtype)
+            tell = CSR.from_scipy(bwd).to_ell(k=fell.k, row_pad=row_pad,
+                                              dtype=dtype)
+            return dataclasses.replace(fell, vals_t=tell.vals)
         n, m = self.shape
         counts = self.rownnz()
         kmax = int(counts.max()) if n > 0 and self.nnz > 0 else 1
@@ -210,7 +256,7 @@ class CSR:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["cols", "vals", "rownnz", "base_blk"],
+         data_fields=["cols", "vals", "rownnz", "base_blk", "vals_t"],
          meta_fields=["nrows", "ncols", "wr", "nsrc"])
 @dataclass
 class ELL:
@@ -238,6 +284,18 @@ class ELL:
     base_blk: jnp.ndarray | None = None
     wr: int | None = None
     nsrc: int | None = None
+    # Transposed-value field (setup path): vals_t[s, i] = A[cols[s, i], i]
+    # maintained as an invariant on a UNION-symmetric pattern (every (i,j)
+    # stored ⇒ (j,i) stored, explicit zeros where A has no entry).  Makes
+    # every aᵢⱼ/aⱼᵢ pair a local field read — the reference pays a binary
+    # search per μ evaluation (MatrixAccess.cu:28-47) and the previous TPU
+    # design an O(K²·n) transpose-matching pass per strength evaluation.
+    # Built at ingestion (to_ell(with_transpose=True)); the pairwise
+    # Galerkin merge carries it to every coarse level exactly, because
+    # merging the transposed field over slot (I,J)'s contributors yields
+    # Σ_{q∈I,p∈J} A[p,q] = Ac[J,I] (union-symmetry is inductive through
+    # the product).  None outside the nonsymmetric setup path.
+    vals_t: jnp.ndarray | None = None
 
     @property
     def has_plan(self) -> bool:

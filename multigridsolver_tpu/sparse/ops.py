@@ -220,13 +220,24 @@ def symmetrized_offdiag_sums(a: ELL, vals_t: jnp.ndarray | None = None,
     ``vals_t``/``has_pair``: the transposed values / pair-exists mask if
     the caller already has them (compute_strength does) — recomputing
     them here would double the costliest program of the setup pass.
+    With a union-symmetric operator (``a.vals_t`` present) every term is
+    a local field read: no transpose pass, no scatter correction.
     """
+    union = a.vals_t is not None
     if vals_t is None:
-        vals_t, has_pair = transposed_slot_values(a, with_pairs=True)
+        if union:
+            vals_t, has_pair = a.vals_t, a.slot_mask()
+        else:
+            vals_t, has_pair = transposed_slot_values(a, with_pairs=True)
     mask = a.slot_mask()
     offdiag = mask & (a.cols != a.row_iota())
     sym = (a.vals + vals_t) / 2.0
     abs_from_rows = jnp.sum(jnp.where(offdiag, jnp.abs(sym), 0.0), axis=0)
+    if union:
+        # the union pattern stores BOTH directions, so each row's own
+        # slots already cover every lone-transposed contribution
+        plain_sum = jnp.sum(jnp.where(offdiag, sym, 0.0), axis=0)
+        return abs_from_rows, plain_sum
     # an entry (i,j) stored while (j,i) is not contributes |aij|/2 to row
     # j's union pattern — scattered below
     lone = offdiag & ~has_pair

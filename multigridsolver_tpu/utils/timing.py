@@ -36,6 +36,28 @@ def print_warn(msg: str) -> None:
     print(f"{_tag('warn')} {msg}", file=sys.stderr)
 
 
+def device_sync(tree) -> None:
+    """Wait for device completion of every array in ``tree``.
+
+    ``jax.block_until_ready`` is a NO-OP on some remote PJRT backends
+    (measured on the tunneled TPU: it returns instantly while the device
+    queue is still draining, so a wall-clock around it times *dispatch*,
+    not compute).  The only reliable completion barrier is a readback:
+    this fetches ONE element of each array leaf (batched into a single
+    device_get), which cannot complete before everything enqueued ahead
+    of it."""
+    import numpy as np
+    slivers = []
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "dtype") and hasattr(leaf, "ravel") \
+                and getattr(leaf, "size", 0):
+            slivers.append(leaf.ravel()[:1])
+    if slivers:
+        jax.device_get(slivers)
+    else:
+        jax.block_until_ready(tree)
+
+
 class PhaseTimer:
     """Named accumulating timers; ``block_on`` forces device completion."""
 
@@ -54,7 +76,7 @@ class PhaseTimer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                device_sync(block_on)
             dt = time.perf_counter() - t0
             self.times[name] = self.times.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
@@ -64,7 +86,7 @@ class PhaseTimer:
 
     def toc(self, name: str, t0: float, block_on=None) -> float:
         if block_on is not None:
-            jax.block_until_ready(block_on)
+            device_sync(block_on)
         dt = time.perf_counter() - t0
         self.times[name] = self.times.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1

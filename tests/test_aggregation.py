@@ -466,3 +466,77 @@ def test_tail_levels_solve_end_to_end(monkeypatch):
         gp.windowed_gather_spmv.clear_cache()
         gp.windowed_take.clear_cache()
         gp.windowed_take_rows.clear_cache()
+
+
+class TestUnionTransposeField:
+    """ELL.vals_t: the union-symmetric transposed-value field must (a) be
+    exact at every level (vals_t[s,i] == Ac[cols[s,i], i]) and (b) leave
+    the aggregation bit-identical to the transpose-matching path."""
+
+    def _nonsym(self, n=24):
+        import scipy.sparse as sp
+        rs = np.random.RandomState(3)
+        base = conftest.poisson2d_csr(n).to_scipy().tolil()
+        # break value symmetry AND pattern symmetry
+        m = base.tocoo()
+        up = m.col > m.row
+        m.data[up] *= 1.0 + 0.3 * rs.rand(up.sum())
+        m = m.tocsr()
+        extra = sp.coo_matrix(
+            (rs.rand(40) * 0.1,
+             (rs.randint(0, n * n, 40),
+              rs.randint(0, n * n, 40))), shape=(n * n, n * n))
+        return CSR.from_scipy((m + extra.tocsr()).tocsr())
+
+    def test_ingestion_invariant(self):
+        import jax.numpy as jnp
+        a = self._nonsym()
+        ell = a.to_ell(dtype=jnp.float64, with_transpose=True)
+        assert ell.vals_t is not None
+        sp_a = a.to_scipy().tocsr()
+        cols = np.asarray(ell.cols)
+        vt = np.asarray(ell.vals_t)
+        nnzr = np.asarray(ell.rownnz)
+        for i in range(min(ell.nrows, 200)):
+            for s in range(nnzr[i]):
+                assert vt[s, i] == sp_a[cols[s, i], i]
+
+    def test_setup_matches_transpose_matching_path(self):
+        import jax.numpy as jnp
+        a = self._nonsym()
+        cfg = HierarchyConfig(max_coarse_size=32, aggregation=
+                              AggregationConfig(ktg=10.0, npass=2, tou=8.0))
+        ref = build_amg_setup(a.to_ell(dtype=jnp.float64), cfg)
+        got = build_amg_setup(
+            a.to_ell(dtype=jnp.float64, with_transpose=True), cfg)
+        # NOTE: the union pattern may add candidate edges where only the
+        # transposed entry is stored — semantically these are the same
+        # graph edges the Fortran sees on the symmetrised pattern.  For
+        # this fixture the added entries are checked to not change the
+        # aggregation (they are weak), keeping the paths comparable.
+        assert [m.nrows for m in got.matrices] == \
+            [m.nrows for m in ref.matrices]
+        for l_ref, l_got in zip(ref.level_labels, got.level_labels):
+            np.testing.assert_array_equal(
+                np.asarray(l_got)[: len(np.asarray(l_ref))],
+                np.asarray(l_ref))
+
+    def test_coarse_vals_t_exact(self):
+        import jax.numpy as jnp
+        a = self._nonsym()
+        cfg = HierarchyConfig(max_coarse_size=32, aggregation=
+                              AggregationConfig(ktg=10.0, npass=2, tou=8.0))
+        s = build_amg_setup(a.to_ell(dtype=jnp.float64,
+                                     with_transpose=True), cfg)
+        for m in s.matrices[1:]:
+            if m.vals_t is None:
+                continue
+            sp_m = m.to_csr().to_scipy().tocsr()
+            cols = np.asarray(m.cols)
+            vt = np.asarray(m.vals_t)
+            nnzr = np.asarray(m.rownnz)
+            for i in range(min(m.nrows, 150)):
+                for sl in range(nnzr[i]):
+                    np.testing.assert_allclose(
+                        vt[sl, i], sp_m[cols[sl, i], i],
+                        rtol=1e-12, atol=1e-13)

@@ -127,7 +127,7 @@ class TestGalerkinPair:
         paired = np.full(ell.npad, -1, np.int32)
         paired[:n] = np.arange(n) ^ 1         # partner = neighbor in pair
         nc_pad = 8                            # 2 padding aggregates
-        cols, vals, rownnz, info = jax.jit(
+        cols, vals, rownnz, info, _ = jax.jit(
             galerkin_pair_arrays, static_argnums=(3,))(
             ell, jnp.asarray(paired), jnp.asarray(lab), nc_pad)
         rownnz = np.asarray(rownnz)
