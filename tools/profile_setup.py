@@ -114,7 +114,10 @@ def main():
 
     print(f"n={a.nrows} nnz={a.nnz} device={jax.devices()[0]}",
           file=sys.stderr)
-    ell = a.to_ell(dtype=jnp.float32)
+    # match bench.py: sky rides the union-pattern transposed-value field
+    ell = a.to_ell(dtype=jnp.float32,
+                   **({"with_transpose": True} if which != "poisson"
+                      else {}))
     jax.block_until_ready(ell.vals)
 
     t0 = time.perf_counter()
@@ -144,6 +147,68 @@ def main():
               file=sys.stderr)
         tot += times[k] / 3
     print(f"  {'SUM':<22} {tot:8.4f}s", file=sys.stderr)
+
+    # --- component breakdown at the 2 finest levels: marginal-cost timing
+    # (chain reps inside one jit so tunnel sync cost cancels) ---
+    from functools import partial as _p
+    from multigridsolver_tpu.setup.strength import compute_strength
+    from multigridsolver_tpu.setup.matching import (mutual_match,
+                                                    labels_from_pairs)
+    print("\ncomponent times (marginal, device-true):", file=sys.stderr)
+    for lv, mat in enumerate(setup.matrices[:2]):
+        agg_cfg = cfg.aggregation
+        stat = dict(ktg=float(agg_cfg.ktg), first_pass=(lv == 0),
+                    checkdd=float(agg_cfg.checkdd),
+                    trspos=float(agg_cfg.trspos),
+                    fracnegrcsum=float(agg_cfg.fracnegrcsum),
+                    symmetric=bool(agg_cfg.symmetric),
+                    mu_mode=str(agg_cfg.mu_mode))
+
+        @_p(jax.jit, static_argnums=(1,))
+        def strength_chain(m, reps):
+            def body(i, acc):
+                st = compute_strength(m, **stat)
+                return acc + st.mu[0, 0] + st.si[0] + 1e-12 * i
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        @_p(jax.jit, static_argnums=(1,))
+        def match_chain(m, reps):
+            st = compute_strength(m, **stat)
+            def body(i, acc):
+                pr = mutual_match(m, st,
+                                  max_rounds=agg_cfg.max_matching_rounds)
+                return acc + pr[0] + i
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        @_p(jax.jit, static_argnums=(1,))
+        def labels_chain(m, reps):
+            st = compute_strength(m, **stat)
+            pr = mutual_match(m, st,
+                              max_rounds=agg_cfg.max_matching_rounds)
+            def body(i, acc):
+                lab, nc = labels_from_pairs(pr, st.excluded, a=m)
+                return acc + lab[0] + nc + i
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        for name, fn in [("strength", strength_chain),
+                         ("match", match_chain),
+                         ("labels", labels_chain)]:
+            try:
+                f1 = lambda: fn(mat, 2)
+                f2 = lambda: fn(mat, 12)
+                jax.block_until_ready(f1()); jax.block_until_ready(f2())
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.perf_counter(); np.asarray(f1())
+                    a1 = time.perf_counter() - t0
+                    t0 = time.perf_counter(); np.asarray(f2())
+                    a2 = time.perf_counter() - t0
+                    best = min(best, (a2 - a1) / 10)
+                print(f"  L{lv} n={mat.nrows:>9} {name:<9} "
+                      f"{best*1e3:8.2f} ms", file=sys.stderr)
+            except Exception as e:
+                print(f"  L{lv} {name}: FAILED {type(e).__name__}: {e}",
+                      file=sys.stderr)
 
 
 if __name__ == "__main__":
