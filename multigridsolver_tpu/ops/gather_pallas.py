@@ -312,6 +312,53 @@ def windowed_take_rows(idx: jnp.ndarray, xs: jnp.ndarray,
     return out.reshape(sp, npad)[:S]
 
 
+def windowed_take_sharded(cols: jnp.ndarray, x: jnp.ndarray,
+                          base_blk: jnp.ndarray, wr: int, npr: int,
+                          hblk: int, mesh, axis: str) -> jnp.ndarray:
+    """Row-sharded ``windowed_take``: halo exchange + per-shard kernel.
+
+    Multi-chip analogue of the reference's single-GPU neighbour gathers
+    and the moral equivalent of AGMG's lstout/lstin halo lists
+    (dagtwolev_mex.f90:119-123): each shard ppermutes fixed-width boundary
+    slabs from its mesh neighbours (2·hblk·wr·128 elements over ICI — not
+    an all-gather of x), then runs the single-chip Pallas windowed gather
+    on its local rows against the halo-extended source.
+
+    ``cols`` (K, npad) sharded P(None, axis); ``x`` (≥npad,) P(axis);
+    ``base_blk`` (ntiles,) P(axis) holding GLOBAL window bases.  ``npr``:
+    rows per shard (multiple of w = wr·128); ``hblk``: halo width in
+    w-units, ≤ npr/w (single-hop).  Every tile's global window must lie in
+    [shard_start − hblk·w, shard_end + hblk·w) — validated by
+    ``parallel.dist_setup.shard_ell_planned`` when it sets ``ELL.shard``.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    w = wr * 128
+    h = hblk * w
+    nsrc_loc = npr + 2 * h
+    ndev = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    if x.shape[0] != npr * ndev:          # halo slab slicing needs exact n
+        x = (jnp.pad(x, (0, npr * ndev - x.shape[0]))
+             if x.shape[0] < npr * ndev else x[: npr * ndev])
+
+    def local(cols_l, x_l, base_l):
+        i = jax.lax.axis_index(axis).astype(jnp.int32)
+        fwd = [(d, d + 1) for d in range(ndev - 1)]
+        bwd = [(d, d - 1) for d in range(1, ndev)]
+        lo = jax.lax.ppermute(x_l[-h:], axis, fwd)    # left neighbour tail
+        hi = jax.lax.ppermute(x_l[:h], axis, bwd)     # right neighbour head
+        x_ext = jnp.concatenate([lo, x_l, hi])
+        shift = i * npr - h                  # global → halo-local offset
+        base_rel = base_l - shift // w
+        cols_rel = cols_l - shift
+        return windowed_take(cols_rel, x_ext, base_rel, wr, nsrc_loc)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(None, axis), P(axis), P(axis)),
+                     out_specs=P(None, axis), check_rep=False)(
+        cols, x, base_blk)
+
+
 def plan_windows(cols: np.ndarray, rownnz: np.ndarray, ncols: int,
                  include_identity: bool = False
                  ) -> tuple[np.ndarray, int, int] | None:

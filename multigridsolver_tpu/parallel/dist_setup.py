@@ -37,7 +37,61 @@ from .sharded import shard_ell
 
 
 def strip_plan(a: ELL) -> ELL:
-    return dataclasses.replace(a, base_blk=None, wr=None, nsrc=None)
+    return dataclasses.replace(a, base_blk=None, wr=None, nsrc=None,
+                               shard=None)
+
+
+def shard_ell_planned(a: ELL, mesh: Mesh) -> ELL | None:
+    """Row-shard ``a`` while KEEPING its windowed-gather plan.
+
+    Repads to a per-shard row count npr that is a multiple of the window
+    size w = wr·128, computes the halo width hblk (in w-units) that covers
+    every tile's window overhang into its neighbours, and marks the ELL
+    with ``shard = (mesh, axis, npr, hblk)`` so every ``take_neighbor``
+    rides the shard_map halo-exchange Pallas kernel
+    (``ops.gather_pallas.windowed_take_sharded``) instead of a GSPMD
+    all-gather.  Returns None when no single-hop halo covers the windows
+    (hblk would exceed npr/w) — the caller falls back to the stripped
+    GSPMD path.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    if a.base_blk is None or a.wr is None:
+        return None
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    w = a.wr * 128
+    npad = ((a.npad + ndev * w - 1) // (ndev * w)) * (ndev * w)
+    npr = npad // ndev
+    base = np.asarray(a.base_blk)
+    ntiles_old = base.shape[0]
+    ntiles = npad // 1024
+    if ntiles != ntiles_old:
+        # padding tiles (all-empty rows): anchor on their own row range
+        extra = (np.arange(ntiles_old, ntiles, dtype=np.int64) * 1024) // w
+        base = np.concatenate([base, extra.astype(base.dtype)])
+    # halo needed per tile: window [base·w, (base+2)·w) vs the owning
+    # shard's row range [r0, r0 + npr)
+    tile_lo = base.astype(np.int64) * w
+    tile_hi = tile_lo + 2 * w
+    r0 = (np.arange(ntiles, dtype=np.int64) * 1024 // npr) * npr
+    over = np.maximum(np.maximum(r0 - tile_lo, tile_hi - (r0 + npr)), 0)
+    hblk = int(-(-int(over.max()) // w))
+    if hblk * w > npr:
+        return None
+    extra_rows = npad - a.npad
+    pad2 = ((0, 0), (0, extra_rows))
+    rows2d = NamedSharding(mesh, P(None, axis))
+    rows1d = NamedSharding(mesh, P(axis))
+    return ELL(
+        cols=jax.device_put(jnp.pad(a.cols, pad2), rows2d),
+        vals=jax.device_put(jnp.pad(a.vals, pad2), rows2d),
+        rownnz=jax.device_put(jnp.pad(a.rownnz, (0, extra_rows)), rows1d),
+        nrows=a.nrows, ncols=a.ncols,
+        base_blk=jax.device_put(jnp.asarray(base, jnp.int32), rows1d),
+        wr=a.wr, nsrc=a.nsrc,
+        vals_t=(jax.device_put(jnp.pad(a.vals_t, pad2), rows2d)
+                if a.vals_t is not None else None),
+        shard=(mesh, axis, npr, hblk))
 
 
 def build_amg_setup_sharded(a: ELL, cfg: HierarchyConfig, mesh: Mesh,
@@ -49,7 +103,16 @@ def build_amg_setup_sharded(a: ELL, cfg: HierarchyConfig, mesh: Mesh,
     ``build_amg_setup`` — coarse operators come out sharded (their
     shardings propagate from the inputs through GSPMD); labels are
     bit-identical to the single-chip result.
+
+    The finest level's neighbour gathers (the dominant setup cost) ride
+    the halo-exchange Pallas kernel when the operator's window plan
+    shards (``shard_ell_planned``); coarse levels and the Galerkin member
+    gathers take the GSPMD-partitioned XLA paths.
     """
     from ..setup.aggregation import build_amg_setup
-    a_sh = shard_ell(strip_plan(a), mesh)
+    a_sh = None
+    if a.vals.dtype == jnp.float32:       # the Pallas kernel's dtype
+        a_sh = shard_ell_planned(a, mesh)
+    if a_sh is None:
+        a_sh = shard_ell(strip_plan(a), mesh)
     return build_amg_setup(a_sh, cfg, timer=timer)

@@ -425,6 +425,7 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                 and not cfg.check_tentagg
                 and cfg.skipass_frac == 0.0
                 and mat.npad % 1024 == 0
+                and mat.shard is None      # sharded rounds go per-pass
                 and plans_enabled()        # gathers must ride Pallas
                 and os.environ.get("MGS_NO_FUSED_SETUP") != "1")
 
@@ -511,7 +512,8 @@ def _tail_enter(ell: ELL):
     """Normalise an operator to the tail shape, rebasing its window plan
     to _TAIL_WR on host (tiny arrays).  None → not tail-eligible."""
     if (ell.base_blk is None or ell.wr is None or ell.wr > _TAIL_WR
-            or ell.npad > _TAIL_NPAD or ell.k > _TAIL_K):
+            or ell.npad > _TAIL_NPAD or ell.k > _TAIL_K
+            or ell.shard is not None):
         return None
     cols, vals, rownnz, vt = _tail_pad(ell.cols, ell.vals, ell.rownnz,
                                        ell.k, ell.vals_t)

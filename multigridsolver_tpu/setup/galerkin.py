@@ -229,36 +229,75 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
         cand_c, cand_v = jax.lax.sort((cand_c, cand_v), dimension=0,
                                       num_keys=1)
     # run-length sum of equal adjacent cols: suffix accumulation (2K steps,
-    # statically unrolled — 2K ≤ 64)
+    # statically unrolled — 2K ≤ 64).  Unrolled over per-slot ROW views:
+    # ``.at[s].add`` on the full (m2, n) array makes XLA materialise a
+    # fresh (m2, n) buffer per step (~m2·m2·n traffic); row-wise the whole
+    # recurrence is m2 fused (n,)-vector ops.
     m2 = 2 * k
-    merged = cand_v
-    merged_t = cand_t if union else None
+    c_rows = [cand_c[s] for s in range(m2)]
+    v_rows = [cand_v[s] for s in range(m2)]
+    t_rows = [cand_t[s] for s in range(m2)] if union else None
+    merged_v: list = [None] * m2
+    merged_v[m2 - 1] = v_rows[m2 - 1]
+    merged_t: list = [None] * m2
+    if union:
+        merged_t[m2 - 1] = t_rows[m2 - 1]
     for s in range(m2 - 2, -1, -1):
-        same = cand_c[s] == cand_c[s + 1]
-        merged = merged.at[s].add(jnp.where(same, merged[s + 1], 0.0))
+        same = c_rows[s] == c_rows[s + 1]
+        merged_v[s] = v_rows[s] + jnp.where(same, merged_v[s + 1], 0.0)
         if union:
-            merged_t = merged_t.at[s].add(
-                jnp.where(same, merged_t[s + 1], 0.0))
-    first = jnp.concatenate([
-        jnp.ones((1, cand_c.shape[1]), bool),
-        cand_c[1:] != cand_c[:-1]], axis=0)
-    keep = first & (cand_c < nc)
+            merged_t[s] = t_rows[s] + jnp.where(same, merged_t[s + 1], 0.0)
+    first_rows = [jnp.ones_like(c_rows[0], dtype=bool)] + [
+        c_rows[s] != c_rows[s - 1] for s in range(1, m2)]
+    keep_rows = [first_rows[s] & (c_rows[s] < nc) for s in range(m2)]
+    # running output position per slot (prefix count of kept entries)
+    pos_rows: list = [None] * m2
+    acc = keep_rows[0].astype(jnp.int32)
+    pos_rows[0] = acc - 1
+    for s in range(1, m2):
+        acc = acc + keep_rows[s].astype(jnp.int32)
+        pos_rows[s] = acc - 1
+    rownnz = acc
     # compact kept entries to the top slots per column.  A lane-axis
     # scatter (.at[pos, ci].add) is pathological on TPU — measured 228 ms
-    # runtime + 11 s compile at (10, 10⁶) — whereas the one-hot
-    # select-and-sum over the small slot axis is 6 ms / 1.3 s: O(m2²·n)
-    # VPU work replaces a serialised scatter.
-    pos = jnp.cumsum(keep.astype(jnp.int32), axis=0) - 1
-    rownnz = jnp.sum(keep.astype(jnp.int32), axis=0)
-    safe_pos = jnp.where(keep, pos, m2)
-    sel = safe_pos[None, :, :] == jax.lax.broadcasted_iota(
-        jnp.int32, (m2, m2, cand_c.shape[1]), 0)
-    out_c = jnp.sum(jnp.where(sel, cand_c[None], 0), axis=1,
-                    dtype=jnp.int32)
-    out_v = jnp.sum(jnp.where(sel, merged[None], 0.0), axis=1,
-                    dtype=merged.dtype)
-    out_t = jnp.sum(jnp.where(sel, merged_t[None], 0.0), axis=1,
-                    dtype=merged.dtype) if union else None
+    # runtime + 11 s compile at (10, 10⁶); instead select per OUTPUT slot
+    # with fused row-wise compares (pos[s] ≤ s, so only slots s ≥ j can
+    # land at output j — m2²/2 (n,)-vector selects, no 3D buffer).
+    if m2 <= 24:
+        out_c_rows, out_v_rows, out_t_rows = [], [], []
+        for j in range(m2):
+            cj = jnp.zeros_like(c_rows[0])
+            vj = jnp.zeros_like(merged_v[0])
+            tj = jnp.zeros_like(merged_v[0]) if union else None
+            for s in range(j, m2):
+                hit = keep_rows[s] & (pos_rows[s] == j)
+                cj = jnp.where(hit, c_rows[s], cj)
+                vj = jnp.where(hit, merged_v[s], vj)
+                if union:
+                    tj = jnp.where(hit, merged_t[s], tj)
+            out_c_rows.append(cj)
+            out_v_rows.append(vj)
+            if union:
+                out_t_rows.append(tj)
+        out_c = jnp.stack(out_c_rows)
+        out_v = jnp.stack(out_v_rows)
+        out_t = jnp.stack(out_t_rows) if union else None
+    else:
+        # tail shapes (m2 = 64, n = 32768): the one-hot 3D select stays
+        # small and avoids an O(m2²) unrolled graph
+        cand_cs = jnp.stack(c_rows)
+        mv = jnp.stack(merged_v)
+        keep = jnp.stack(keep_rows)
+        pos = jnp.stack(pos_rows)
+        safe_pos = jnp.where(keep, pos, m2)
+        sel = safe_pos[None, :, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (m2, m2, cand_cs.shape[1]), 0)
+        out_c = jnp.sum(jnp.where(sel, cand_cs[None], 0), axis=1,
+                        dtype=jnp.int32)
+        out_v = jnp.sum(jnp.where(sel, mv[None], 0.0), axis=1,
+                        dtype=mv.dtype)
+        out_t = jnp.sum(jnp.where(sel, jnp.stack(merged_t)[None], 0.0),
+                        axis=1, dtype=mv.dtype) if union else None
     head = jnp.stack([jnp.sum(rownnz), jnp.max(rownnz)]).astype(jnp.int32)
     # the coarse operator's own window-plan min/max per 1024-row tile
     # (identity-covered), packed into the same readback

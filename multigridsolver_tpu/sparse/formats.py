@@ -257,7 +257,7 @@ class CSR:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["cols", "vals", "rownnz", "base_blk", "vals_t"],
-         meta_fields=["nrows", "ncols", "wr", "nsrc"])
+         meta_fields=["nrows", "ncols", "wr", "nsrc", "shard"])
 @dataclass
 class ELL:
     """Device-resident padded ELL sparse matrix (JAX pytree), slot-major.
@@ -296,6 +296,13 @@ class ELL:
     # Σ_{q∈I,p∈J} A[p,q] = Ac[J,I] (union-symmetry is inductive through
     # the product).  None outside the nonsymmetric setup path.
     vals_t: jnp.ndarray | None = None
+    # Row-shard metadata (parallel/dist_setup.shard_ell_planned):
+    # (mesh, axis_name, npr, hblk) — npr rows per shard, hblk the halo
+    # width in w = wr·128 units.  When set alongside a window plan, every
+    # take_neighbor gather rides the shard_map halo-exchange Pallas kernel
+    # (ops/gather_pallas.windowed_take_sharded) instead of a GSPMD
+    # all-gather.  Static/meta: participates in jit cache keys.
+    shard: tuple | None = None
 
     @property
     def has_plan(self) -> bool:

@@ -39,10 +39,20 @@ def take_neighbor(a: ELL, x: jnp.ndarray,
         idx = a.cols
     if a.base_blk is None:
         return jnp.take(x, idx, axis=0)
-    from ..ops.gather_pallas import windowed_take
+    from ..ops.gather_pallas import windowed_take, windowed_take_sharded
     one_d = idx.ndim == 1
     if one_d:
         idx = idx[None, :]
+    if a.shard is not None:
+        mesh, axis, npr, hblk = a.shard
+        xi = x.astype(jnp.int32) if x.dtype == jnp.bool_ else x
+        if xi.dtype in (jnp.float32, jnp.int32):
+            out = windowed_take_sharded(idx, xi, a.base_blk, a.wr, npr,
+                                        hblk, mesh, axis)
+            if x.dtype == jnp.bool_:
+                out = out != 0
+            return out[0] if one_d else out
+        return jnp.take(x, idx[0] if one_d else idx, axis=0)
     if x.dtype == jnp.bool_:
         out = windowed_take(idx, x.astype(jnp.int32), a.base_blk, a.wr,
                             a.nsrc) != 0
@@ -78,6 +88,9 @@ def spmv(a, x: jnp.ndarray) -> jnp.ndarray:
     if hasattr(a, "offsets"):
         from . import hybrid
         return hybrid.spmv(a, x)
+    if getattr(a, "shard", None) is not None and a.base_blk is not None \
+            and x.dtype == jnp.float32:
+        return jnp.sum(a.vals * take_neighbor(a, x), axis=0)
     if a.base_blk is not None and x.dtype == jnp.float32:
         from ..ops.gather_pallas import windowed_gather_spmv
         return windowed_gather_spmv(a.cols, a.vals, x, a.base_blk, a.wr,

@@ -371,3 +371,88 @@ class TestDistributedSetup:
             mesh)
         finest = sh.matrices[0]
         assert len(finest.vals.sharding.device_set) == 8
+
+
+class TestShardedPlannedGather:
+    """Window-planned gathers under sharding: halo-exchange shard_map
+    Pallas kernel instead of a GSPMD all-gather (VERDICT r2 #5).  Runs
+    the kernel through the Pallas interpreter on the CPU mesh."""
+
+    @pytest.fixture()
+    def interp(self, monkeypatch):
+        from multigridsolver_tpu.ops import gather_pallas as gp
+        monkeypatch.setattr(gp, "INTERPRET", True)
+        for f in (gp.windowed_gather_spmv, gp.windowed_take,
+                  gp.windowed_take_rows):
+            f.clear_cache()
+        yield gp
+        for f in (gp.windowed_gather_spmv, gp.windowed_take,
+                  gp.windowed_take_rows):
+            f.clear_cache()
+
+    def _planned(self, mesh, n=64):
+        from multigridsolver_tpu.parallel.dist_setup import shard_ell_planned
+        a = conftest.poisson2d_csr(n)
+        ell = a.to_ell(dtype=jnp.float32)
+        assert ell.base_blk is not None, "plan expected on poisson"
+        sh = shard_ell_planned(ell, mesh)
+        assert sh is not None, "planned sharding must cover poisson"
+        return ell, sh
+
+    def test_take_neighbor_matches_single_chip(self, mesh, interp):
+        ell, sh = self._planned(mesh)
+        x = jnp.asarray(
+            np.random.RandomState(3).rand(sh.npad).astype(np.float32))
+        out_sh = np.asarray(jax.jit(ops.take_neighbor)(sh, x))
+        ref = np.take(np.asarray(x), np.asarray(sh.cols), axis=0)
+        m = np.asarray(sh.slot_mask())
+        np.testing.assert_array_equal(out_sh[m], ref[m])
+
+    def test_take_neighbor_bool_and_custom_idx(self, mesh, interp):
+        ell, sh = self._planned(mesh)
+        av = jnp.asarray(np.random.RandomState(5).rand(sh.npad) > 0.5)
+        out = np.asarray(jax.jit(ops.take_neighbor)(sh, av))
+        ref = np.take(np.asarray(av), np.asarray(sh.cols), axis=0)
+        m = np.asarray(sh.slot_mask())
+        np.testing.assert_array_equal(out[m], ref[m])
+        # 1-row custom idx (the proposal-of-proposal gather): own rows are
+        # window-covered by construction
+        idx = jnp.arange(sh.npad, dtype=jnp.int32)
+        x = jnp.asarray(
+            np.random.RandomState(7).rand(sh.npad).astype(np.float32))
+        out1 = np.asarray(jax.jit(
+            lambda a, v, i: ops.take_neighbor(a, v, idx=i))(sh, x, idx))
+        np.testing.assert_array_equal(out1, np.asarray(x))
+
+    def test_gather_hlo_collective_permute_not_all_gather(self, mesh,
+                                                          interp):
+        ell, sh = self._planned(mesh)
+        x = jnp.zeros((sh.npad,), jnp.float32)
+        compiled = jax.jit(ops.take_neighbor).lower(sh, x).compile()
+        txt = compiled.as_text()
+        assert "collective-permute" in txt
+        assert "all-gather" not in txt
+
+    def test_planned_setup_labels_bit_identical(self, mesh, interp):
+        """f32 setup over the halo-kernel path: labels on the logical rows
+        must be bit-identical to the single-chip f32 run."""
+        from multigridsolver_tpu.parallel import build_amg_setup_sharded
+        from multigridsolver_tpu.setup.aggregation import build_amg_setup
+        from multigridsolver_tpu.utils.config import (AggregationConfig,
+                                                      HierarchyConfig)
+        a = conftest.poisson2d_csr(64)
+        ell = a.to_ell(dtype=jnp.float32)
+        cfg = HierarchyConfig(max_coarse_size=64,
+                              aggregation=AggregationConfig(
+                                  npass=2, symmetric=True))
+        ref = build_amg_setup(ell, cfg)
+        sh = build_amg_setup_sharded(ell, cfg, mesh)
+        assert sh.matrices[0].shard is not None, \
+            "planned sharding should engage on f32 poisson"
+        assert [m.nrows for m in sh.matrices] == \
+            [m.nrows for m in ref.matrices]
+        n = a.nrows
+        for l_ref, l_sh in zip(ref.level_labels, sh.level_labels):
+            np.testing.assert_array_equal(
+                np.asarray(l_sh)[:n], np.asarray(l_ref)[:n])
+            n = int(np.asarray(l_ref).max()) + 1
