@@ -353,10 +353,16 @@ def windowed_take_sharded(cols: jnp.ndarray, x: jnp.ndarray,
         cols_rel = cols_l - shift
         return windowed_take(cols_rel, x_ext, base_rel, wr, nsrc_loc)
 
-    return shard_map(local, mesh=mesh,
-                     in_specs=(P(None, axis), P(axis), P(axis)),
-                     out_specs=P(None, axis), check_rep=False)(
-        cols, x, base_blk)
+    specs = dict(mesh=mesh, in_specs=(P(None, axis), P(axis), P(axis)),
+                 out_specs=P(None, axis))
+    try:                                  # JAX <0.9 spells it check_rep
+        mapped = shard_map(local, check_rep=False, **specs)
+    except TypeError:                     # JAX >=0.9 renamed it check_vma
+        try:
+            mapped = shard_map(local, check_vma=False, **specs)
+        except TypeError:
+            mapped = shard_map(local, **specs)
+    return mapped(cols, x, base_blk)
 
 
 def plan_windows(cols: np.ndarray, rownnz: np.ndarray, ncols: int,

@@ -8,7 +8,7 @@ values — but running levels one after another serialises every readback:
 ~30 syncs ≈ 1.5-3 s of pure round-trip latency per hierarchy build.
 
 :func:`drive` runs many *staged generators* in lockstep.  A staged
-generator is plain linear build code that ``yield``\ s a pytree of device
+generator is plain linear build code that yields a pytree of device
 arrays whenever it needs host values and receives the fetched host pytree
 back::
 
