@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sparse.formats import CSR, ELL
+from ..utils import precompile as pool
 from ..utils.config import AggregationConfig, HierarchyConfig
 from ..utils.timing import PhaseTimer
 from .strength import compute_strength
@@ -133,6 +134,62 @@ def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int,
 @jax.jit
 def _concat_packed(*ps):
     return jnp.concatenate(ps)
+
+
+def _warm_fused_round(mat: ELL, stat: dict, wr_g: int, ncb: int,
+                      wr_c1: int, nsrc_c1: int, wr_g2: int) -> None:
+    """Kick off concurrent AOT compiles of all four fused-round programs.
+
+    Every signature is written out in closed form — matching emits
+    (npad,) int32 pair/label vectors, pairwise Galerkin emits slot width
+    exactly 2K (galerkin_pair_arrays docstring) — so all four warms fire
+    immediately with zero tracing on this thread.  Best-effort: a shape
+    mismatch just leaves the main thread on the plain jit path (the pool
+    counts it as a miss)."""
+    sd = jax.ShapeDtypeStruct
+    mat_abs = pool.abstract_of(mat)
+    npad, k, dt = mat.npad, mat.k, mat.vals.dtype
+    vec_f = sd((npad,), jnp.int32)
+    pool.warm(_match_pass, mat_abs, first_pass=True, **stat)
+    pool.warm(_galerkin_bound, mat_abs, vec_f, vec_f,
+              wr_m=wr_g, nc_bound=ncb, wr_c=wr_c1)
+    gv = sd((2 * k, ncb), dt)
+    c1_abs = ELL(cols=sd((2 * k, ncb), jnp.int32), vals=gv,
+                 rownnz=sd((ncb,), jnp.int32), nrows=ncb, ncols=ncb,
+                 base_blk=sd((max(ncb // 1024, 1),), jnp.int32),
+                 wr=wr_c1, nsrc=nsrc_c1,
+                 vals_t=gv if mat.vals_t is not None else None)
+    vec_c = sd((ncb,), jnp.int32)
+    pool.warm(_match_pass, c1_abs, first_pass=False, **stat)
+    pool.warm(_galerkin_bound, c1_abs, vec_c, vec_c,
+              wr_m=wr_g2, nc_bound=ncb)
+
+
+def _warm_tail(dtype, has_vt: bool, cfg: AggregationConfig) -> None:
+    """Warm the fixed-shape tail program set (shapes are compile-time
+    constants) as soon as setup starts, overlapping the tail compiles
+    with the fine-level rounds that run first."""
+    stat = dict(ktg=float(cfg.ktg), checkdd=float(cfg.checkdd),
+                trspos=float(cfg.trspos),
+                fracnegrcsum=float(cfg.fracnegrcsum),
+                max_rounds=int(cfg.max_matching_rounds),
+                symmetric=bool(cfg.symmetric), mu_mode=str(cfg.mu_mode))
+    sd = jax.ShapeDtypeStruct
+    vals = sd((_TAIL_K, _TAIL_NPAD), dtype)
+    t_abs = ELL(cols=sd((_TAIL_K, _TAIL_NPAD), jnp.int32), vals=vals,
+                rownnz=sd((_TAIL_NPAD,), jnp.int32), nrows=_TAIL_NPAD,
+                ncols=_TAIL_NPAD,
+                base_blk=sd((_TAIL_NPAD // 1024,), jnp.int32),
+                wr=_TAIL_WR, nsrc=_TAIL_NSRC,
+                vals_t=vals if has_vt else None)
+
+    vec = sd((_TAIL_NPAD,), jnp.int32)
+    pool.warm(_match_pass, t_abs, first_pass=True, **stat)
+    pool.warm(_galerkin_bound, t_abs, vec, vec,
+              wr_m=_TAIL_WR, nc_bound=_TAIL_NPAD, wr_c=_TAIL_WR)
+    # post-kslice pass-2 operators return to the tail shape, so pass 2
+    # reuses pass 1's Galerkin program; only the matcher differs
+    pool.warm(_match_pass, t_abs, first_pass=False, **stat)
 
 
 @partial(jax.jit, static_argnames=("kc_eff", "nc_pad"))
@@ -331,21 +388,31 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         # past w at wr=128, which used to fail plan_ok and force the
         # slow per-pass fallback every round)
         wr_c1 = min(192, 2 * wr_g)
-        args = (float(cfg.ktg), float(cfg.checkdd), float(cfg.trspos),
-                float(cfg.fracnegrcsum), int(cfg.max_matching_rounds),
-                bool(cfg.symmetric), str(cfg.mu_mode))
-        paired1, labels1, packed1, si, zerors = _match_pass(
-            mat, True, *args)
-        c1c, c1v, c1r, base_c1, packed2, c1t = _galerkin_bound(
-            mat, paired1, labels1, wr_g, ncb, wr_c=wr_c1)
+        stat = dict(ktg=float(cfg.ktg), checkdd=float(cfg.checkdd),
+                    trspos=float(cfg.trspos),
+                    fracnegrcsum=float(cfg.fracnegrcsum),
+                    max_rounds=int(cfg.max_matching_rounds),
+                    symmetric=bool(cfg.symmetric),
+                    mu_mode=str(cfg.mu_mode))
         wc = wr_c1 * 128
         nsrc_c1 = ((ncb + 2 * wc + 127) // 128) * 128
+        wr_g2 = min(192, 2 * wr_g)
+        # every program shape in the round is statically known here —
+        # compile all four concurrently (utils/precompile.py) while the
+        # main thread dispatches through the AOT executables
+        _warm_fused_round(mat, stat, wr_g, ncb, wr_c1, nsrc_c1, wr_g2)
+        paired1, labels1, packed1, si, zerors = pool.call(
+            _match_pass, mat, first_pass=True, **stat)
+        c1c, c1v, c1r, base_c1, packed2, c1t = pool.call(
+            _galerkin_bound, mat, paired1, labels1,
+            wr_m=wr_g, nc_bound=ncb, wr_c=wr_c1)
         c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=ncb, ncols=ncb,
                  base_blk=base_c1, wr=wr_c1, nsrc=nsrc_c1, vals_t=c1t)
-        wr_g2 = min(192, 2 * wr_g)
-        paired2, labels2, packed3, _, _ = _match_pass(c1, False, *args)
-        c2c, c2v, c2r, _, packed4, c2t = _galerkin_bound(
-            c1, paired2, labels2, wr_g2, ncb)
+        paired2, labels2, packed3, _, _ = pool.call(
+            _match_pass, c1, first_pass=False, **stat)
+        c2c, c2v, c2r, _, packed4, c2t = pool.call(
+            _galerkin_bound, c1, paired2, labels2,
+            wr_m=wr_g2, nc_bound=ncb)
         labels_r = compose_labels(labels1, labels2)
         p = np.asarray(_concat_packed(packed1, packed2, packed3, packed4))
         # layout: [nc1, mm(2·ntf)] [nnz1, deg1, fits1, ok1, oc1(2·ntb)]
@@ -538,9 +605,11 @@ def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
     satisfies ``nc ≤ max_coarse_size``/tou/no-progress, or the caller
     re-enters (under-speculation).
     """
-    args = (float(cfg.ktg), float(cfg.checkdd), float(cfg.trspos),
-            float(cfg.fracnegrcsum), int(cfg.max_matching_rounds),
-            bool(cfg.symmetric), str(cfg.mu_mode))
+    stat = dict(ktg=float(cfg.ktg), checkdd=float(cfg.checkdd),
+                trspos=float(cfg.trspos),
+                fracnegrcsum=float(cfg.fracnegrcsum),
+                max_rounds=int(cfg.max_matching_rounds),
+                symmetric=bool(cfg.symmetric), mu_mode=str(cfg.mu_mode))
     nt = _TAIL_NPAD // 1024
 
     est = mat.nrows
@@ -549,16 +618,20 @@ def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
     packeds = []
     cur = mat
     while n_disp < max_rounds and (est > max_coarse_size or n_disp == 0):
-        paired1, labels1, packed1, _, _ = _match_pass(cur, True, *args)
-        c1c, c1v, c1r, base1, packed2, c1t = _galerkin_bound(
-            cur, paired1, labels1, _TAIL_WR, _TAIL_NPAD, wr_c=_TAIL_WR)
+        paired1, labels1, packed1, _, _ = pool.call(
+            _match_pass, cur, first_pass=True, **stat)
+        c1c, c1v, c1r, base1, packed2, c1t = pool.call(
+            _galerkin_bound, cur, paired1, labels1,
+            wr_m=_TAIL_WR, nc_bound=_TAIL_NPAD, wr_c=_TAIL_WR)
         c1c, c1v, c1r, c1t = _tail_kslice(c1c, c1v, c1r, c1t)
         c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=_TAIL_NPAD,
                  ncols=_TAIL_NPAD, base_blk=base1, wr=_TAIL_WR,
                  nsrc=_TAIL_NSRC, vals_t=c1t)
-        paired2, labels2, packed3, _, _ = _match_pass(c1, False, *args)
-        c2c, c2v, c2r, base2, packed4, c2t = _galerkin_bound(
-            c1, paired2, labels2, _TAIL_WR, _TAIL_NPAD, wr_c=_TAIL_WR)
+        paired2, labels2, packed3, _, _ = pool.call(
+            _match_pass, c1, first_pass=False, **stat)
+        c2c, c2v, c2r, base2, packed4, c2t = pool.call(
+            _galerkin_bound, c1, paired2, labels2,
+            wr_m=_TAIL_WR, nc_bound=_TAIL_NPAD, wr_c=_TAIL_WR)
         c2c, c2v, c2r, c2t = _tail_kslice(c2c, c2v, c2r, c2t)
         c2 = ELL(cols=c2c, vals=c2v, rownnz=c2r, nrows=_TAIL_NPAD,
                  ncols=_TAIL_NPAD, base_blk=base2, wr=_TAIL_WR,
@@ -662,6 +735,10 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
     cur = a
     cur_nnz = None
     tail_ok = _tail_eligible(cfg)
+    if tail_ok and a.shard is None and a.npad > _TAIL_NPAD:
+        # compile the fixed-shape tail program set in the background
+        # while the fine-level rounds run
+        _warm_tail(a.vals.dtype, a.vals_t is not None, cfg.aggregation)
     _timer = timer or PhaseTimer(enabled=False)
     for _ in range(cfg.max_levels - 1):
         if cur.nrows <= cfg.max_coarse_size:

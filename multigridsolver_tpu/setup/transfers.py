@@ -107,6 +107,19 @@ def _members_ell(labels: jnp.ndarray, km: int, nc_t: int):
     return cols, vals, rownnz, km_actual
 
 
+@partial(jax.jit, static_argnames=("npad_f",))
+def _prolong_arrays(labels: jnp.ndarray, npad_f: int):
+    npad = labels.shape[0]
+    if npad_f != npad:
+        labels = jnp.concatenate(
+            [labels, jnp.full((npad_f - npad,), -1, jnp.int32)])
+    valid = labels >= 0
+    p_cols = jnp.where(valid, labels, 0).astype(jnp.int32)[None, :]
+    p_vals = valid.astype(jnp.float32)[None, :]
+    p_rnnz = valid.astype(jnp.int32)
+    return labels, p_cols, p_vals, p_rnnz
+
+
 @jax.jit
 def _max_agg_size(labels: jnp.ndarray):
     valid = labels >= 0
@@ -123,16 +136,12 @@ def transfer_plan_staged(labels: jnp.ndarray, nc_pad: int):
     min/max reductions — are ``yield``\\ ed so peer levels batch them."""
     npad = labels.shape[0]
     npad_f = _round_up(npad, gp.T)
-    if npad_f != npad:
-        labels = jnp.concatenate(
-            [labels, jnp.full((npad_f - npad,), -1, jnp.int32)])
     nc_t = _round_up(nc_pad, gp.T)
 
-    # --- prolongation arrays: one slot per fine row ---
-    valid = labels >= 0
-    p_cols = jnp.where(valid, labels, 0).astype(jnp.int32)[None, :]
-    p_vals = valid.astype(jnp.float32)[None, :]
-    p_rnnz = valid.astype(jnp.int32)
+    # --- prolongation arrays: one slot per fine row (one program; the
+    # eager form dispatched ~5 tiny programs per level) ---
+    labels, p_cols, p_vals, p_rnnz = _prolong_arrays(labels,
+                                                     npad_f=npad_f)
     (cmin, cmax), km = yield (
         gp.plan_windows_device(p_cols, p_rnnz, npad_f // gp.T),
         _max_agg_size(labels))

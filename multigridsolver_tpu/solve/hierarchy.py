@@ -78,9 +78,13 @@ class CoarseSolve:
         return jnp.zeros_like(b).at[: self.m].set(xm)
 
 
-def make_coarse_solve(a: ELL) -> CoarseSolve:
+@partial(jax.jit, static_argnames=("m",))
+def _coarse_factor(a: ELL, m: int):
+    """Dense assembly + LU of the coarsest operator as ONE program (the
+    eager form dispatched ~6 programs, incl. a scatter-add whose solo
+    compile cost 6.4 s cold; fused and pool-warmed it is off the
+    critical path)."""
     dense = ops.to_dense(a)
-    m = min(max((a.nrows + 7) // 8 * 8, 8), a.npad)
     full = jnp.zeros((m, m), dtype=a.vals.dtype)
     full = full.at[: a.nrows, : min(a.ncols, m)].set(
         dense[:, : min(a.ncols, m)])
@@ -88,7 +92,13 @@ def make_coarse_solve(a: ELL) -> CoarseSolve:
     # otherwise make the factorisation singular — e.g. excluded G0 rows)
     empty = jnp.all(full == 0.0, axis=1)
     full = full + jnp.diag(jnp.where(empty, 1.0, 0.0).astype(a.vals.dtype))
-    lu, piv = jax.scipy.linalg.lu_factor(full)
+    return jax.scipy.linalg.lu_factor(full)
+
+
+def make_coarse_solve(a: ELL) -> CoarseSolve:
+    from ..utils import precompile as pool
+    m = min(max((a.nrows + 7) // 8 * 8, 8), a.npad)
+    lu, piv = pool.call(_coarse_factor, a, m=m)
     return CoarseSolve(a=a, lu=lu, piv=piv, m=m)
 
 
@@ -251,9 +261,25 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
             gens.append(hyb.hybrid_staged(mats[l]))
         if use_plans and p_ops is None:
             gens.append(transfer_plan_staged(labs[l], mats[l + 1].npad))
+    from ..utils import precompile as _pool
+    mc = min(max((mats[-1].nrows + 7) // 8 * 8, 8), mats[-1].npad)
+    _pool.warm(_coarse_factor, _pool.abstract_of(mats[-1]), m=mc)
     staged = drive(gens)
     per_level = (1 if use_hybrid else 0) + (
         1 if (use_plans and p_ops is None) else 0)
+
+    if smoother_kind == "chebyshev":
+        # every level's operator is concrete now: compile all power
+        # iterations concurrently (the per-level scan compiles were the
+        # cold hierarchy build's dominator) — make_smoother below picks
+        # each executable up through the pool
+        from ..utils import precompile as pool
+        from .smoothers import estimate_lmax
+        for l in range(nlv):
+            op_l = staged[l * per_level] if use_hybrid else mats[l]
+            dt = getattr(op_l, "dtype", None) or op_l.vals.dtype
+            pool.warm(estimate_lmax, pool.abstract_of(op_l),
+                      jax.ShapeDtypeStruct((op_l.npad,), dt))
 
     levels = []
     for l in range(nlv):

@@ -52,9 +52,11 @@ def _row_mask(a):
     return hybrid.row_mask(a) if _is_hyb(a) else a.row_mask()
 
 
+@partial(jax.jit, static_argnames=("l1",))
 def jacobi_diag(a, l1: bool = False) -> jnp.ndarray:
     """Smoothing diagonal: plain aᵢᵢ, or the l1-Jacobi safeguard
-    dᵢ = aᵢᵢ + Σⱼ≠ᵢ|aᵢⱼ| (guaranteed convergent for any matrix)."""
+    dᵢ = aᵢᵢ + Σⱼ≠ᵢ|aᵢⱼ| (guaranteed convergent for any matrix).
+    One program per level (the eager form dispatched ~4)."""
     d = _extract_diag(a)
     if l1:
         if _is_hyb(a):
@@ -78,9 +80,15 @@ def jacobi_sweeps(a: ELL, d: jnp.ndarray, b: jnp.ndarray, x: jnp.ndarray,
     return jax.lax.fori_loop(0, sweeps, body, x)
 
 
+@partial(jax.jit, static_argnames=("iters", "seed"))
 def estimate_lmax(a: ELL, d: jnp.ndarray, iters: int = 12,
                   seed: int = 7) -> jnp.ndarray:
-    """Power-iteration estimate of λmax(D⁻¹A) for Chebyshev bounds."""
+    """Power-iteration estimate of λmax(D⁻¹A) for Chebyshev bounds.
+
+    Jitted as ONE program (the raw fori_loop used to dispatch as a bare
+    ``scan``, compiling per level shape on the critical path — 9.2 s of
+    the poisson1000 cold hierarchy build); ``build_hierarchy`` pre-warms
+    it per level through the precompile pool."""
     key = jax.random.PRNGKey(seed)
     dtype = a.dtype if _is_hyb(a) else a.vals.dtype
     x = jax.random.normal(key, (a.npad,), dtype=dtype)
@@ -155,7 +163,8 @@ def make_smoother(a, kind: str = "chebyshev", sweeps: int = 2,
     l1 = kind in ("l1jacobi", "chebyshev")
     d = jacobi_diag(a, l1=False if kind == "jacobi" else l1)
     if kind == "chebyshev":
-        lmax = estimate_lmax(a, d) * lmax_safety
+        from ..utils import precompile as pool
+        lmax = pool.call(estimate_lmax, a, d) * lmax_safety
     else:
         lmax = jnp.asarray(1.0, dtype)
     lmat = umat = udiag = None

@@ -317,6 +317,22 @@ def _offsets_from_host_sample(sample_cols: np.ndarray,
     return sorted(keep)
 
 
+@partial(jax.jit, static_argnames=("stride",))
+def _sample_sliver(cols, rownnz, stride: int):
+    return cols[:, ::stride], rownnz[::stride]
+
+
+@partial(jax.jit, static_argnames=("k_rest",))
+def _mask_remainder(rcols, rvals, rnnz, k_rest: int):
+    """Zero both cols and vals of invalid slots (the sorted leftovers
+    beyond rnnz still hold covered entries' data).  One program per
+    level (the eager form dispatched ~4)."""
+    sl = jax.lax.broadcasted_iota(jnp.int32, (k_rest, rcols.shape[1]), 0)
+    ok = sl < rnnz[None, :]
+    return jnp.where(ok, rcols[:k_rest], 0), jnp.where(ok, rvals[:k_rest],
+                                                       0.0)
+
+
 @partial(jax.jit, static_argnames=("offs",))
 def _split_by_offsets(a: ELL, offs: tuple):
     """Masked-reduction DIA extraction + remainder compaction (one small-
@@ -351,8 +367,8 @@ def hybrid_staged(a: ELL, max_diags: int = 48, min_fill: float = 0.02):
     host decision point is a ``yield`` so peer levels' readbacks batch
     into one sync per stage."""
     stride = max(1, a.npad // 4096)
-    sample_cols, sample_nnz = yield (a.cols[:, ::stride],
-                                     a.rownnz[::stride])
+    sample_cols, sample_nnz = yield _sample_sliver(a.cols, a.rownnz,
+                                                   stride=stride)
     rows = np.arange(a.npad, dtype=np.int64)[::stride]
     offsets = _offsets_from_host_sample(sample_cols, sample_nnz, rows,
                                         a.nrows, a.npad, max_diags,
@@ -361,13 +377,9 @@ def hybrid_staged(a: ELL, max_diags: int = 48, min_fill: float = 0.02):
     k_rest = int((yield rmax))
     ell = None
     if k_rest > 0:
-        # zero both cols and vals of invalid slots (the sorted leftovers
-        # beyond rnnz still hold covered entries' data)
-        sl = jax.lax.broadcasted_iota(jnp.int32, (k_rest, a.npad), 0)
-        ok = sl < rnnz[None, :]
-        ell = ELL(cols=jnp.where(ok, rcols[:k_rest], 0),
-                  vals=jnp.where(ok, rvals[:k_rest], 0.0),
-                  rownnz=rnnz, nrows=a.nrows, ncols=a.ncols)
+        mc, mv = _mask_remainder(rcols, rvals, rnnz, k_rest=k_rest)
+        ell = ELL(cols=mc, vals=mv, rownnz=rnnz, nrows=a.nrows,
+                  ncols=a.ncols)
     ell, base_blk, wr, nsrc_pad, ov = yield from _attach_plan_staged(ell)
     return HYB(dvals=dvals, ell=ell, base_blk=base_blk, ov=ov,
                offsets=tuple(offsets), nrows=a.nrows, ncols=a.ncols,
