@@ -50,7 +50,40 @@ T = 1024            # output rows per tile (one f32 vreg)
 # sizes serve restriction members-gathers (window ~ coarsening ratio x
 # 1024); the k-blocked grid bounds each kernel BODY at ~512 unrolled ops
 # regardless, so big wr costs runtime (2wr selects/vreg), not compile time
-_WRS = (8, 16, 32, 64, 128, 192)
+# window half-size ladder (in 128-lane units).  Per-element gather cost
+# is ∝ wr (the kernel's unrolled select chain walks the whole window),
+# so a dense ladder: a spread that just misses a bucket pays one step
+# of extra chain, not 2x (measured on poisson3500 L1: spread 9399 fell
+# off the pow2 64-bucket and ran at wr=128 — 2.7x the needed work).
+# All entries are multiples of 8 so 2·wr is a multiple of the window
+# base granularity _wb(wr) below.
+_WRS = (8, 16, 24, 32, 40, 48, 64, 80, 96, 112, 128, 160, 192)
+
+
+# base granularity per ladder entry (128-lane rows).  Power-of-two
+# entries keep wb = wr — the original two-block layout, zero extra DMA
+# descriptors.  The in-between rungs use fine 16-row granularity: they
+# only ever win by cutting the select chain vs the next pow2 (e.g.
+# poisson3500 L1, spread 9399: wr 48@wb16 = 96 chain steps vs 128@128 =
+# 256), which dwarfs the ~17 % many-block DMA overhead (measured at
+# wr = 64: 8 blocks 0.034 ms vs 2 blocks 0.029 ms on a 4M-row take).
+_WB = {8: 8, 16: 16, 24: 16, 32: 32, 40: 16, 48: 16, 64: 64, 80: 16,
+       96: 16, 112: 16, 128: 128, 160: 32, 192: 64}
+
+
+def _wb(wr: int) -> int:
+    """Window-base granularity in 128-lane rows.  Bases used to be in
+    whole half-window (wr·128) units, wasting up to a full w = wr·128 of
+    chain on alignment — a spread of w+2 forced the next wr bucket.  The
+    kernels fetch the same 2·wr·128 window as nblk = 2wr/wb blocks of
+    wb rows each, with the base aligned to wb·128 lanes."""
+    return _WB.get(wr, min(wr, 16))
+
+
+def _nblk(wr: int) -> int:
+    wb = _wb(wr)
+    assert (2 * wr) % wb == 0, wr
+    return 2 * wr // wb
 
 # run the kernel through the Pallas interpreter (tests on the CPU backend)
 INTERPRET = False
@@ -104,7 +137,16 @@ _BODY_BUDGET = 512
 
 
 def _k_block(K: int, wr: int) -> int:
-    return max(1, min(K, _BODY_BUDGET // (2 * wr)))
+    """Largest power-of-two slot block within the unroll budget.  MUST
+    divide the (power-of-two-bucketed) padded slot count: the grid's
+    slot dimension is K//kb, so a non-divisor silently drops the
+    trailing slots (bit us when the dense wr ladder introduced kb = 5/6
+    for wr = 40/48)."""
+    kb = max(1, min(K, _BODY_BUDGET // (2 * wr)))
+    p = 1
+    while p * 2 <= kb:
+        p *= 2
+    return p
 
 
 def _k_block_balanced(K: int, wr: int) -> int:
@@ -127,11 +169,12 @@ def _k_bucket(K: int) -> int:
     return b
 
 
-def _spmv_kernel(wr: int, kb: int, base_ref, cols_ref, vals_ref, xlo_ref,
-                 xhi_ref, o_ref):
+def _spmv_kernel(wr: int, kb: int, base_ref, cols_ref, vals_ref,
+                 *x_refs):
+    *x_refs, o_ref = x_refs
     t, kg = pl.program_id(0), pl.program_id(1)
-    base = base_ref[t] * (wr * 128)
-    xw = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=0)  # (2wr, 128)
+    base = base_ref[t] * (_wb(wr) * 128)
+    xw = jnp.concatenate([r[...] for r in x_refs], axis=0)  # (2wr, 128)
     acc = jnp.zeros((8, 128), jnp.float32)
     for j in range(kb):
         g = _window_gather(xw, cols_ref[j] - base, wr)
@@ -144,11 +187,20 @@ def _spmv_kernel(wr: int, kb: int, base_ref, cols_ref, vals_ref, xlo_ref,
     o_ref[...] += acc
 
 
-def _take_kernel(wr: int, kb: int, base_ref, cols_ref, xlo_ref, xhi_ref,
-                 o_ref):
+def _x_block_specs(wr: int):
+    """The 2·wr·128 source window as nblk wb-row blocks starting at the
+    wb-aligned base (scalar-prefetched)."""
+    wb = _wb(wr)
+    return [pl.BlockSpec((wb, 128),
+                         partial(lambda j, t, k, b: (b[t] + j, 0), j))
+            for j in range(_nblk(wr))]
+
+
+def _take_kernel(wr: int, kb: int, base_ref, cols_ref, *x_refs):
+    *x_refs, o_ref = x_refs
     t = pl.program_id(0)
-    base = base_ref[t] * (wr * 128)
-    xw = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=0)
+    base = base_ref[t] * (_wb(wr) * 128)
+    xw = jnp.concatenate([r[...] for r in x_refs], axis=0)
     for j in range(kb):
         o_ref[j] = _window_gather(xw, cols_ref[j] - base, wr)
 
@@ -196,8 +248,7 @@ def windowed_gather_spmv(cols: jnp.ndarray, vals: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
             pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
-            pl.BlockSpec((wr, 128), lambda t, k, b: (b[t], 0)),
-            pl.BlockSpec((wr, 128), lambda t, k, b: (b[t] + 1, 0)),
+            *_x_block_specs(wr),
         ],
         out_specs=pl.BlockSpec((8, 128), lambda t, k, b: (t, 0)),
     )
@@ -206,7 +257,7 @@ def windowed_gather_spmv(cols: jnp.ndarray, vals: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.float32),
         interpret=INTERPRET,
-    )(base_blk, cols3, vals3, xp2d, xp2d)
+    )(base_blk, cols3, vals3, *([xp2d] * _nblk(wr)))
     return out.reshape(npad)
 
 
@@ -242,8 +293,7 @@ def windowed_take(cols: jnp.ndarray, x: jnp.ndarray,
         grid=(ntiles, kp // kb),
         in_specs=[
             pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
-            pl.BlockSpec((wr, 128), lambda t, k, b: (b[t], 0)),
-            pl.BlockSpec((wr, 128), lambda t, k, b: (b[t] + 1, 0)),
+            *_x_block_specs(wr),
         ],
         out_specs=pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
     )
@@ -252,17 +302,17 @@ def windowed_take(cols: jnp.ndarray, x: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kp, ntiles * 8, 128), x.dtype),
         interpret=INTERPRET,
-    )(base_blk, cols3, xp2d, xp2d)
+    )(base_blk, cols3, *([xp2d] * _nblk(wr)))
     return out.reshape(kp, npad)[:K]
 
 
-def _take_rows_kernel(wr: int, kb: int, base_ref, idx_ref, xlo_ref,
-                      xhi_ref, o_ref):
+def _take_rows_kernel(wr: int, kb: int, base_ref, idx_ref, *x_refs):
+    *x_refs, o_ref = x_refs
     t = pl.program_id(0)
-    base = base_ref[t] * (wr * 128)
+    base = base_ref[t] * (_wb(wr) * 128)
     idx = idx_ref[0] - base
     for j in range(kb):
-        xw = jnp.concatenate([xlo_ref[j], xhi_ref[j]], axis=0)
+        xw = jnp.concatenate([r[j] for r in x_refs], axis=0)
         o_ref[j] = _window_gather(xw, idx, wr)
 
 
@@ -293,13 +343,16 @@ def windowed_take_rows(idx: jnp.ndarray, xs: jnp.ndarray,
     if sp != S:
         xs3 = jnp.pad(xs3, ((0, sp - S), (0, 0), (0, 0)))
 
+    wb = _wb(wr)
+    x_specs = [pl.BlockSpec((kb, wb, 128),
+                            partial(lambda j, t, k, b: (k, b[t] + j, 0), j))
+               for j in range(_nblk(wr))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles, sp // kb),
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda t, k, b: (0, t, 0)),
-            pl.BlockSpec((kb, wr, 128), lambda t, k, b: (k, b[t], 0)),
-            pl.BlockSpec((kb, wr, 128), lambda t, k, b: (k, b[t] + 1, 0)),
+            *x_specs,
         ],
         out_specs=pl.BlockSpec((kb, 8, 128), lambda t, k, b: (k, t, 0)),
     )
@@ -308,7 +361,7 @@ def windowed_take_rows(idx: jnp.ndarray, xs: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((sp, ntiles * 8, 128), xs.dtype),
         interpret=INTERPRET,
-    )(base_blk, idx3, xs3, xs3)
+    )(base_blk, idx3, *([xs3] * _nblk(wr)))
     return out.reshape(sp, npad)[:S]
 
 
@@ -334,6 +387,11 @@ def windowed_take_sharded(cols: jnp.ndarray, x: jnp.ndarray,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     w = wr * 128
+    wbl = _wb(wr) * 128
+    # the global→local base rebase divides the shard shift by the base
+    # granularity; both npr and the halo width must be multiples of it
+    # (shard_ell_planned only emits conforming wr/hblk)
+    assert w % wbl == 0 and npr % wbl == 0, (wr, npr)
     h = hblk * w
     nsrc_loc = npr + 2 * h
     ndev = int(np.prod([mesh.shape[a] for a in (axis,)]))
@@ -349,7 +407,7 @@ def windowed_take_sharded(cols: jnp.ndarray, x: jnp.ndarray,
         hi = jax.lax.ppermute(x_l[:h], axis, bwd)     # right neighbour head
         x_ext = jnp.concatenate([lo, x_l, hi])
         shift = i * npr - h                  # global → halo-local offset
-        base_rel = base_l - shift // w
+        base_rel = base_l - shift // wbl
         cols_rel = cols_l - shift
         return windowed_take(cols_rel, x_ext, base_rel, wr, nsrc_loc)
 
@@ -435,13 +493,16 @@ def plan_minmax_masked(cols: jnp.ndarray, mask: jnp.ndarray, ntiles: int):
 
 def plan_from_minmax(cmin: np.ndarray, cmax: np.ndarray,
                      ncols: int) -> tuple[np.ndarray, int, int] | None:
-    """Host-side tail of the planner given per-tile (cmin, cmax)."""
+    """Host-side tail of the planner given per-tile (cmin, cmax).
+    Bases are in wb·128-lane units (wb = _wb(wr)); each tile's window is
+    [base·wb·128, base·wb·128 + 2·wr·128)."""
     for wr in _WRS:
-        w = wr * 128
-        base = cmin // w
-        if np.all(cmax < (base + 2) * w):
+        wbl = _wb(wr) * 128
+        base = cmin // wbl
+        nb = _nblk(wr)
+        if np.all(cmax < (base + nb) * wbl):
             nsrc_pad = _round_up(
-                max(int((base.max() + 2) * w), ncols, 128), 128)
+                max(int((base.max() + nb) * wbl), ncols, 128), 128)
             return base.astype(np.int32), wr, int(nsrc_pad)
     return None
 
@@ -457,13 +518,14 @@ def anchored_base(ntiles: int, wr: int, ncols: int,
     aggregation.  Returns ``(base, nsrc_pad)`` — the per-tile window
     bases plus the padded source length the windows index into."""
     w = wr * 128
+    wbl = _wb(wr) * 128
     nsrc_pad = _round_up(max(ncols, 2 * w, 128), 128)
-    max_base = max(nsrc_pad // w - 2, 0)
+    max_base = max((nsrc_pad - 2 * w) // wbl, 0)
     centre = ((np.arange(ntiles, dtype=np.int64) * T + T // 2)
               * stretch).astype(np.int64)
-    # best-centred base on the w grid: window [b·w, b·w + 2w) with
-    # b = round((centre − w)/w) guarantees ≥ w/2 coverage on each side
-    base = np.clip((centre - w // 2) // w, 0, max_base)
+    # centred window [b·wbl, b·wbl + 2w) on the wb grid: b chosen so the
+    # window start sits ~w before the centre (≥ ~w coverage each side)
+    base = np.clip((centre - w) // wbl, 0, max_base)
     return base.astype(np.int32), int(nsrc_pad)
 
 
@@ -479,7 +541,8 @@ def overflow_fracs_device(cols, rownnz, bases, wrs: tuple):
     nval = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
     fr = []
     for i, wr in enumerate(wrs):
-        lo = jnp.take(bases[i], tile, axis=0).astype(jnp.int64) * (wr * 128)
+        lo = (jnp.take(bases[i], tile, axis=0).astype(jnp.int64)
+              * (_wb(wr) * 128))
         inwin = valid & (cols >= lo) & (cols < lo + 2 * wr * 128)
         fr.append(jnp.sum((valid & ~inwin).astype(jnp.int32)) / nval)
     return jnp.stack(fr)
@@ -499,7 +562,8 @@ def split_overflow_device(cols, vals, rownnz, base_blk, wr: int):
     sl = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
     valid = sl < rownnz[None, :]
     tile = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 1) // T
-    lo = jnp.take(base_blk, tile, axis=0).astype(jnp.int64) * (wr * 128)
+    lo = (jnp.take(base_blk, tile, axis=0).astype(jnp.int64)
+          * (_wb(wr) * 128))
     inwin = valid & (cols >= lo) & (cols < lo + 2 * wr * 128)
     over = valid & ~inwin
     main_cols = jnp.where(inwin, cols, 0)

@@ -55,11 +55,20 @@ def shard_ell_planned(a: ELL, mesh: Mesh) -> ELL | None:
     GSPMD path.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..ops.gather_pallas import _wb
     if a.base_blk is None or a.wr is None:
         return None
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    w = a.wr * 128
+    # the sharded kernel's global→local rebase needs w and npr to be
+    # multiples of the base granularity wb·128 — widen non-conforming
+    # window sizes (wr 24→32, 40→48; window start is unchanged, so the
+    # wider window still covers every planned column)
+    wr = a.wr
+    while (wr * 128) % (_wb(wr) * 128) != 0:
+        wr += 8
+    w = wr * 128
+    wbl = _wb(wr) * 128
     npad = ((a.npad + ndev * w - 1) // (ndev * w)) * (ndev * w)
     npr = npad // ndev
     base = np.asarray(a.base_blk)
@@ -67,11 +76,12 @@ def shard_ell_planned(a: ELL, mesh: Mesh) -> ELL | None:
     ntiles = npad // 1024
     if ntiles != ntiles_old:
         # padding tiles (all-empty rows): anchor on their own row range
-        extra = (np.arange(ntiles_old, ntiles, dtype=np.int64) * 1024) // w
+        extra = (np.arange(ntiles_old, ntiles, dtype=np.int64)
+                 * 1024) // wbl
         base = np.concatenate([base, extra.astype(base.dtype)])
-    # halo needed per tile: window [base·w, (base+2)·w) vs the owning
-    # shard's row range [r0, r0 + npr)
-    tile_lo = base.astype(np.int64) * w
+    # halo needed per tile: window [base·wbl, base·wbl + 2w) vs the
+    # owning shard's row range [r0, r0 + npr)
+    tile_lo = base.astype(np.int64) * wbl
     tile_hi = tile_lo + 2 * w
     r0 = (np.arange(ntiles, dtype=np.int64) * 1024 // npr) * npr
     over = np.maximum(np.maximum(r0 - tile_lo, tile_hi - (r0 + npr)), 0)
@@ -88,7 +98,7 @@ def shard_ell_planned(a: ELL, mesh: Mesh) -> ELL | None:
         rownnz=jax.device_put(jnp.pad(a.rownnz, (0, extra_rows)), rows1d),
         nrows=a.nrows, ncols=a.ncols,
         base_blk=jax.device_put(jnp.asarray(base, jnp.int32), rows1d),
-        wr=a.wr, nsrc=a.nsrc,
+        wr=wr, nsrc=max(a.nsrc or 0, int(tile_hi.max())),
         vals_t=(jax.device_put(jnp.pad(a.vals_t, pad2), rows2d)
                 if a.vals_t is not None else None),
         shard=(mesh, axis, npr, hblk))

@@ -102,26 +102,31 @@ def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int,
     ocmax(ntb)…]; returns (cols, vals, rownnz, base_c, packed).
     """
     from .galerkin import galerkin_pair_arrays
+    from ..ops.gather_pallas import _wb
     mem_cmin, mem_cmax = member_window_minmax(labels)
     nc = jnp.max(labels) + 1
     npad = a.npad
     w = wr_m * 128
+    wbm = _wb(wr_m) * 128
     nsrc_m = ((npad + 2 * w + 127) // 128) * 128
-    max_base = max(nsrc_m // w - 2, 0)
+    max_base = max((nsrc_m - 2 * w) // wbm, 0)
     ntb = nc_bound // 1024
-    base_m = jnp.clip(mem_cmin[:ntb] // w, 0, max_base)
-    fits = (jnp.all(mem_cmax[:ntb] < (base_m.astype(jnp.int64) + 2) * w)
+    base_m = jnp.clip(mem_cmin[:ntb] // wbm, 0, max_base)
+    fits = (jnp.all(mem_cmax[:ntb]
+                    < base_m.astype(jnp.int64) * wbm + 2 * w)
             & (nc <= nc_bound))
     cols, vals, rownnz, info, vt = galerkin_pair_arrays(
         a, paired, labels, nc_bound, base_m, wr_m, nsrc_m)
     if wr_c > 0 and info.shape[0] > 2:
         wc = wr_c * 128
+        wbc = _wb(wr_c) * 128
         nsrc_c = ((nc_bound + 2 * wc + 127) // 128) * 128
         ocmin = info[2: 2 + ntb]
         ocmax = info[2 + ntb: 2 + 2 * ntb]
-        base_c = jnp.clip(ocmin // wc, 0,
-                          max(nsrc_c // wc - 2, 0)).astype(jnp.int32)
-        plan_ok = jnp.all(ocmax < (base_c.astype(jnp.int64) + 2) * wc)
+        base_c = jnp.clip(ocmin // wbc, 0,
+                          max((nsrc_c - 2 * wc) // wbc, 0)
+                          ).astype(jnp.int32)
+        plan_ok = jnp.all(ocmax < base_c.astype(jnp.int64) * wbc + 2 * wc)
     else:
         base_c = jnp.zeros((max(ntb, 1),), jnp.int32)
         plan_ok = jnp.asarray(False)
@@ -136,6 +141,36 @@ def _concat_packed(*ps):
     return jnp.concatenate(ps)
 
 
+# per-shape tuned window widths for the fused round's chained programs
+# (wr_g / wr_c1 / wr_g2) — see run_fused_round
+_ROUND_TUNE: dict = {}
+
+
+def _round_tune_update(tkey, mm_fine, oc_coarse, mm_coarse) -> None:
+    """Record the tight chained-window widths this round actually needed
+    (one ladder step of margin on top of the exact requirement)."""
+    from ..ops import gather_pallas as gp
+
+    def tight(mm, nt, ncols):
+        plan = gp.plan_from_minmax(np.asarray(mm[:nt]),
+                                   np.asarray(mm[nt: 2 * nt]), ncols)
+        if plan is None:
+            return None
+        wr = plan[1]
+        bigger = [w for w in gp._WRS if w > wr]
+        return bigger[0] if bigger else wr
+
+    mm1, ntf, npad = mm_fine
+    oc1, ntb, ncb = oc_coarse
+    mm3, ntb2, ncb2 = mm_coarse
+    wr_g = tight(mm1, ntf, npad)
+    wr_c1 = tight(oc1, ntb, ncb)
+    wr_g2 = tight(mm3, ntb2, ncb2)
+    if wr_g and wr_c1 and wr_g2:
+        _ROUND_TUNE[tkey] = {"wr_g": max(32, wr_g),
+                             "wr_c1": wr_c1, "wr_g2": wr_g2}
+
+
 def _warm_fused_round(mat: ELL, stat: dict, wr_g: int, ncb: int,
                       wr_c1: int, nsrc_c1: int, wr_g2: int) -> None:
     """Kick off concurrent AOT compiles of all four fused-round programs.
@@ -146,6 +181,9 @@ def _warm_fused_round(mat: ELL, stat: dict, wr_g: int, ncb: int,
     immediately with zero tracing on this thread.  Best-effort: a shape
     mismatch just leaves the main thread on the plain jit path (the pool
     counts it as a miss)."""
+    from ..ops import gather_pallas as gp
+    if gp.INTERPRET:      # CPU interpret runs: warms only waste compiles
+        return
     sd = jax.ShapeDtypeStruct
     mat_abs = pool.abstract_of(mat)
     npad, k, dt = mat.npad, mat.k, mat.vals.dtype
@@ -169,6 +207,9 @@ def _warm_tail(dtype, has_vt: bool, cfg: AggregationConfig) -> None:
     """Warm the fixed-shape tail program set (shapes are compile-time
     constants) as soon as setup starts, overlapping the tail compiles
     with the fine-level rounds that run first."""
+    from ..ops import gather_pallas as gp
+    if gp.INTERPRET:
+        return
     stat = dict(ktg=float(cfg.ktg), checkdd=float(cfg.checkdd),
                 trspos=float(cfg.trspos),
                 fracnegrcsum=float(cfg.fracnegrcsum),
@@ -382,12 +423,26 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         # running it at full fine shape.
         ncb = min(npad, ((int(0.625 * npad) + 1023) // 1024) * 1024)
         ntb = ncb // 1024
-        wr_g = min(128, max(32, 2 * (mat.wr or 16)))
+        # Speculative window widths for the chained in-round programs.
+        # First encounter of a shape uses conservative defaults (2x);
+        # the round readback then records the TIGHT widths the data
+        # actually needed (+1 ladder step of margin) so every repeat
+        # setup at this shape — the warm path, refresh_setup sequences —
+        # gathers at ~the minimal chain length.  Spreads are
+        # deterministic per matrix, so the tuned widths cannot misfit on
+        # repeats; a different matrix colliding on the shape key at most
+        # trips fits/plan_ok once, which resets the entry (below).
+        # Measured: poisson3500 pass-2 matching at the default
+        # wr_c1 = 160 vs the tuned 48 is the difference between a 320-
+        # and a 96-step gather chain on every matching round.
+        tkey = (npad, mat.k, mat.wr, ncb)
+        tune = _ROUND_TUNE.get(tkey, {})
+        wr_g = tune.get("wr_g", min(128, max(32, 2 * (mat.wr or 16))))
         # the coarse operator's on-device plan may need a wider window
         # than the member gathers (sky-type problems: coarse spread grows
         # past w at wr=128, which used to fail plan_ok and force the
         # slow per-pass fallback every round)
-        wr_c1 = min(192, 2 * wr_g)
+        wr_c1 = tune.get("wr_c1", min(192, 2 * wr_g))
         stat = dict(ktg=float(cfg.ktg), checkdd=float(cfg.checkdd),
                     trspos=float(cfg.trspos),
                     fracnegrcsum=float(cfg.fracnegrcsum),
@@ -396,7 +451,7 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                     mu_mode=str(cfg.mu_mode))
         wc = wr_c1 * 128
         nsrc_c1 = ((ncb + 2 * wc + 127) // 128) * 128
-        wr_g2 = min(192, 2 * wr_g)
+        wr_g2 = tune.get("wr_g2", min(192, 2 * wr_g))
         # every program shape in the round is statically known here —
         # compile all four concurrently (utils/precompile.py) while the
         # main thread dispatches through the AOT executables
@@ -426,6 +481,15 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         nnz2, deg2, fits2 = (int(x) for x in p[o4:o4 + 3])
         oc1 = p[o2 + 4: o2 + 4 + 2 * ntb]
         oc2 = p[o4 + 4: o4 + 4 + 2 * ntb]
+        mm1 = p[1: 1 + 2 * ntf]
+        mm3 = p[o3 + 1: o3 + 1 + 2 * ntb]
+        if fits1 and plan_ok1 and fits2:
+            _round_tune_update(tkey, (mm1, ntf, npad), (oc1, ntb, ncb),
+                               (mm3, ntb, ncb))
+        elif tune:
+            # tuned widths misfit (shape-key collision with a different
+            # matrix): drop them so the next call retries the defaults
+            _ROUND_TUNE.pop(tkey, None)
         if not fits1 or nc1 <= 0:
             return None
         exit1 = (nnz1 <= nnz0 / cfg.tou
@@ -585,9 +649,13 @@ def _tail_enter(ell: ELL):
     cols, vals, rownnz, vt = _tail_pad(ell.cols, ell.vals, ell.rownnz,
                                        ell.k, ell.vals_t)
     base = np.zeros((_TAIL_NPAD // 1024,), np.int32)
-    # a wr ≤ 32 window [b·w, b·w + 2w) is always covered by the _TAIL_WR
-    # window starting at floor(b·w / W) (2w ≤ W + w ≤ 2W)
-    old = np.asarray(ell.base_blk) * (ell.wr * 128) // _TAIL_W
+    # a wr ≤ 32 window (≤ 2·32·128 wide, starting on its wb·128 grid) is
+    # always covered by the _TAIL_WR window starting at the same point
+    # rounded down to the tail's wb grid: the tail window is 8192 wide
+    # and the round-down loses < 2048, leaving ≥ 6144 ≥ old window
+    from ..ops.gather_pallas import _wb as _gwb
+    tail_wb = _gwb(_TAIL_WR) * 128
+    old = (np.asarray(ell.base_blk) * (_gwb(ell.wr) * 128)) // tail_wb
     base[: old.shape[0]] = old
     return ELL(cols=cols, vals=vals, rownnz=rownnz, nrows=_TAIL_NPAD,
                ncols=_TAIL_NPAD, base_blk=jnp.asarray(base), wr=_TAIL_WR,

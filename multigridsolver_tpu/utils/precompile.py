@@ -118,8 +118,13 @@ def call(fn, *args, **statics):
     with _lock:
         e = _entries.get(key)
     if e is not None:
-        e.thread.join()
-        if e.err is None:
+        # bounded join: if the background compile wedges (remote compile
+        # service hiccup), duplicate the compile on the jit path rather
+        # than hang the build
+        e.thread.join(timeout=600.0)
+        if e.thread.is_alive():
+            stats["join_timeout"] = stats.get("join_timeout", 0) + 1
+        elif e.err is None:
             try:
                 out = e.compiled(*args)
                 stats["hit"] += 1

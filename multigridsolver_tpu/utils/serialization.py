@@ -60,7 +60,8 @@ def _strip_derived(hier: Hierarchy) -> Hierarchy:
     from ..sparse.hybrid import HYB
 
     def strip_ell(e):
-        return dataclasses.replace(e, base_blk=None, wr=None, nsrc=None) \
+        return dataclasses.replace(e, base_blk=None, wr=None, nsrc=None,
+                                   roll_ov=None, roll_offsets=None) \
             if isinstance(e, ELL) else e
 
     from ..sparse.hybrid import merge_overflow_host as merge_overflow

@@ -54,7 +54,7 @@ class TestPlanner:
         base_blk, wr, nsrc_pad = plan
         valid = np.arange(5)[:, None] < rownnz[None, :]
         tile = np.arange(cols.shape[1]) // gp.T
-        lo = base_blk[tile] * wr * 128
+        lo = base_blk[tile] * gp._wb(wr) * 128
         assert np.all((cols >= lo)[valid] & (cols < lo + 2 * wr * 128)[valid])
 
     def test_device_minmax_matches_host(self):
