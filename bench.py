@@ -202,12 +202,17 @@ def main():
                                  kcycle_depth=3)
         device_sync(hier80.coarse.lu)
         sky_setup = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        setup80w = build_amg_setup(ell80, HierarchyConfig(
-            max_coarse_size=512,
-            aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0)))
-        device_sync(setup80w.matrices[-1].vals)
-        sky_setup_warm = time.perf_counter() - t0
+        # best of 2: rep 1 may compile the freshly-autotuned window
+        # variants (setup/aggregation._ROUND_TUNE) — that cost is paid
+        # once per shape per machine, not per setup
+        sky_setup_warm = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            setup80w = build_amg_setup(ell80, HierarchyConfig(
+                max_coarse_size=512,
+                aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0)))
+            device_sync(setup80w.matrices[-1].vals)
+            sky_setup_warm = min(sky_setup_warm, time.perf_counter() - t0)
         b80 = rs.rand(a80.nrows)
         x80, relres80, inner80, outer80 = solve_refined(
             hier80, a80, b80, tol=1e-8, inner_tol=1e-5)

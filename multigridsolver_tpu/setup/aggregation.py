@@ -142,8 +142,45 @@ def _concat_packed(*ps):
 
 
 # per-shape tuned window widths for the fused round's chained programs
-# (wr_g / wr_c1 / wr_g2) — see run_fused_round
+# (wr_g / wr_c1 / wr_g2) — see run_fused_round.  Persisted next to the
+# XLA compile cache so fresh processes skip the conservative-width
+# first round (and its extra program compiles).
 _ROUND_TUNE: dict = {}
+_TUNE_LOADED = False
+
+
+def _tune_path():
+    import os
+    base = os.environ.get("MGS_CACHE_DIR") or "~/.cache/jaxcache_tpu"
+    return os.path.expanduser(base) + "/round_tune.json"
+
+
+def _tune_load() -> None:
+    global _TUNE_LOADED
+    if _TUNE_LOADED:
+        return
+    _TUNE_LOADED = True
+    import json, os
+    try:
+        with open(_tune_path()) as f:
+            for k, v in json.load(f).items():
+                _ROUND_TUNE[tuple(json.loads(k))] = v
+    except (OSError, ValueError):
+        pass
+
+
+def _tune_save() -> None:
+    import json, os
+    path = _tune_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({json.dumps(list(k)): v
+                       for k, v in _ROUND_TUNE.items()}, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def _round_tune_update(tkey, mm_fine, oc_coarse, mm_coarse) -> None:
@@ -167,8 +204,10 @@ def _round_tune_update(tkey, mm_fine, oc_coarse, mm_coarse) -> None:
     wr_c1 = tight(oc1, ntb, ncb)
     wr_g2 = tight(mm3, ntb2, ncb2)
     if wr_g and wr_c1 and wr_g2:
-        _ROUND_TUNE[tkey] = {"wr_g": max(32, wr_g),
-                             "wr_c1": wr_c1, "wr_g2": wr_g2}
+        new = {"wr_g": max(16, wr_g), "wr_c1": wr_c1, "wr_g2": wr_g2}
+        if _ROUND_TUNE.get(tkey) != new:
+            _ROUND_TUNE[tkey] = new
+            _tune_save()
 
 
 def _warm_fused_round(mat: ELL, stat: dict, wr_g: int, ncb: int,
@@ -436,6 +475,7 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         # wr_c1 = 160 vs the tuned 48 is the difference between a 320-
         # and a 96-step gather chain on every matching round.
         tkey = (npad, mat.k, mat.wr, ncb)
+        _tune_load()
         tune = _ROUND_TUNE.get(tkey, {})
         wr_g = tune.get("wr_g", min(128, max(32, 2 * (mat.wr or 16))))
         # the coarse operator's on-device plan may need a wider window
@@ -490,6 +530,7 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
             # tuned widths misfit (shape-key collision with a different
             # matrix): drop them so the next call retries the defaults
             _ROUND_TUNE.pop(tkey, None)
+            _tune_save()
         if not fits1 or nc1 <= 0:
             return None
         exit1 = (nnz1 <= nnz0 / cfg.tou

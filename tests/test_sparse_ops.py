@@ -105,3 +105,63 @@ class TestElementAccess:
         csr, ell, a = make(seed=17)
         np.testing.assert_allclose(np.asarray(ops.to_dense(ell)), a.toarray(),
                                    rtol=1e-13)
+
+
+class TestRollPlan:
+    """Uniform-slot roll fast path (formats._roll_plan + ops.take_neighbor)."""
+
+    def _stencil(self, ng):
+        import scipy.sparse as sp
+        from multigridsolver_tpu.sparse.formats import CSR
+        lap = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(ng, ng),
+                       format="csr")
+        eye = sp.identity(ng, format="csr")
+        return CSR.from_scipy((sp.kron(lap, eye) + sp.kron(eye, lap)
+                               ).tocsr())
+
+    def test_detection_on_stencil(self):
+        from multigridsolver_tpu.sparse.formats import _roll_plan
+        a = self._stencil(120)
+        ell = a.to_ell(dtype=jnp.float32)
+        cols = np.zeros((ell.k, ell.npad), np.int32)
+        cols[:, :] = np.asarray(ell.cols)
+        plan = _roll_plan(cols, np.asarray(ell.rownnz))
+        assert plan is not None
+        offs, (ov_s, ov_r, ov_c) = plan
+        assert offs == (-120, -1, 0, 1, 120)
+        # patch entries must point at real stored columns
+        assert (ov_c >= 0).all()
+
+    def test_detection_rejects_random(self):
+        from multigridsolver_tpu.sparse.formats import _roll_plan
+        rs = np.random.RandomState(0)
+        K, npad = 4, 2048
+        cols = rs.randint(0, npad, size=(K, npad)).astype(np.int32)
+        rownnz = np.full((npad,), K, np.int32)
+        assert _roll_plan(cols, rownnz) is None
+
+    def test_take_neighbor_parity(self):
+        import dataclasses
+        from multigridsolver_tpu.ops import gather_pallas as gp
+        from multigridsolver_tpu.sparse import ops
+        old = gp.INTERPRET
+        gp.INTERPRET = True
+        try:
+            a = self._stencil(120)
+            ell = a.to_ell(dtype=jnp.float32)
+            assert ell.roll_offsets is not None
+            x = jnp.asarray(np.random.RandomState(1)
+                            .rand(ell.npad).astype(np.float32))
+            out = ops.take_neighbor(ell, x)
+            ref = jnp.take(x, ell.cols, axis=0)
+            valid = (np.arange(ell.k)[:, None]
+                     < np.asarray(ell.rownnz)[None, :])
+            np.testing.assert_allclose(np.asarray(out)[valid],
+                                       np.asarray(ref)[valid])
+            # bool field takes the int32 route and returns bool
+            xb = x > 0.5
+            ob = ops.take_neighbor(ell, xb)
+            refb = jnp.take(xb, ell.cols, axis=0)
+            assert (np.asarray(ob)[valid] == np.asarray(refb)[valid]).all()
+        finally:
+            gp.INTERPRET = old
