@@ -99,7 +99,7 @@ def main():
         h = build_hierarchy(setup.matrices[0], setup.level_labels,
                             setup.matrices[1:], smoother_kind="chebyshev",
                             cycle="kcycle", pre_smooth=1, post_smooth=1,
-                            degree=3, kcycle_depth=3)
+                            degree=2, kcycle_depth=3)
         device_sync(h.coarse.lu)
         return h
 
@@ -198,7 +198,7 @@ def main():
         hier80 = build_hierarchy(setup80.matrices[0], setup80.level_labels,
                                  setup80.matrices[1:],
                                  smoother_kind="chebyshev", cycle="kcycle",
-                                 pre_smooth=1, post_smooth=1, degree=3,
+                                 pre_smooth=1, post_smooth=1, degree=2,
                                  kcycle_depth=3)
         device_sync(hier80.coarse.lu)
         sky_setup = time.perf_counter() - t0

@@ -540,3 +540,52 @@ class TestUnionTransposeField:
                     np.testing.assert_allclose(
                         vt[sl, i], sp_m[cols[sl, i], i],
                         rtol=1e-12, atol=1e-13)
+
+
+class TestSetupLadder:
+    """Record/replay of the per-problem round structure
+    (setup/aggregation._LADDER): the replay dispatches every big round
+    without a blocking readback and must be label-identical; corrupted
+    records must fail validation and fall back to a full rebuild."""
+
+    def _poisson_ell(self, ng=240):
+        import scipy.sparse as sp
+        lap = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(ng, ng),
+                       format="csr")
+        eye = sp.identity(ng, format="csr")
+        a = CSR.from_scipy((sp.kron(lap, eye) + sp.kron(eye, lap)).tocsr())
+        return a.to_ell(dtype=jnp.float32)
+
+    def test_record_replay_and_fallback(self, tmp_path, monkeypatch):
+        from multigridsolver_tpu.ops import gather_pallas as gp
+        from multigridsolver_tpu.setup import aggregation as agg
+        monkeypatch.setenv("MGS_CACHE_DIR", str(tmp_path))
+        monkeypatch.setattr(agg, "_LADDER", {})
+        monkeypatch.setattr(agg, "_LADDER_LOADED", False)
+        monkeypatch.setattr(agg, "_ROUND_TUNE", {})
+        monkeypatch.setattr(agg, "_TUNE_LOADED", False)
+        old = gp.INTERPRET
+        gp.INTERPRET = True
+        try:
+            ell = self._poisson_ell()
+            cfg = HierarchyConfig(
+                max_coarse_size=512,
+                aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0,
+                                              symmetric=True))
+            s1 = agg.build_amg_setup(ell, cfg)        # records
+            assert len(agg._LADDER) == 1
+            s2 = agg.build_amg_setup(ell, cfg)        # replays
+            for l1, l2 in zip(s1.level_labels, s2.level_labels):
+                np.testing.assert_array_equal(np.asarray(l1),
+                                              np.asarray(l2))
+            assert ([m.nrows for m in s1.matrices]
+                    == [m.nrows for m in s2.matrices])
+            # corrupt the record: validation must reject and rebuild
+            for key in agg._LADDER:
+                agg._LADDER[key]["rounds"][0]["nnz1"] += 1
+            s3 = agg.build_amg_setup(ell, cfg)
+            for l1, l3 in zip(s1.level_labels, s3.level_labels):
+                np.testing.assert_array_equal(np.asarray(l1),
+                                              np.asarray(l3))
+        finally:
+            gp.INTERPRET = old
