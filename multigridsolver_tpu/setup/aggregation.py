@@ -313,9 +313,10 @@ def _ell_from_rec(cols, vals, rownnz, vt, rec: dict) -> ELL:
     ell = ELL(cols=c, vals=v, rownnz=rn, nrows=nc, ncols=nc, vals_t=t)
     if rec.get("plan") is not None:
         import dataclasses
+        hb = np.asarray(rec["plan"], np.int32)
         ell = dataclasses.replace(
-            ell, base_blk=jnp.asarray(np.asarray(rec["plan"], np.int32)),
-            wr=rec["wr"], nsrc=rec["nsrc"])
+            ell, base_blk=jnp.asarray(hb), wr=rec["wr"], nsrc=rec["nsrc"])
+        ell._host_base = hb
     return ell
 
 
@@ -628,6 +629,9 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                 plan_host = (np.asarray(b, np.int32).tolist(), wr, nsrc)
                 ell_c = dataclasses.replace(
                     ell_c, base_blk=jnp.asarray(b), wr=wr, nsrc=nsrc)
+                # host copy of the plan base: _tail_enter's rebase then
+                # needs no device fetch
+                ell_c._host_base = np.asarray(b, np.int32)
         return ell_c, plan_host
 
     def run_fused_round(mat: ELL):
@@ -849,31 +853,21 @@ def _tail_enter(ell: ELL):
     # and the round-down loses < 2048, leaving ≥ 6144 ≥ old window
     from ..ops.gather_pallas import _wb as _gwb
     tail_wb = _gwb(_TAIL_WR) * 128
-    old = (np.asarray(ell.base_blk) * (_gwb(ell.wr) * 128)) // tail_wb
+    hb = getattr(ell, "_host_base", None)
+    base_np = hb if hb is not None else np.asarray(ell.base_blk)
+    old = (base_np * (_gwb(ell.wr) * 128)) // tail_wb
     base[: old.shape[0]] = old
     return ELL(cols=cols, vals=vals, rownnz=rownnz, nrows=_TAIL_NPAD,
                ncols=_TAIL_NPAD, base_blk=jnp.asarray(base), wr=_TAIL_WR,
                nsrc=_TAIL_NSRC, vals_t=vt)
 
 
-def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
-                max_rounds: int, max_coarse_size: int):
-    """Run up to ``max_rounds`` speculative fused rounds at the tail shape
-    with a single readback.
-
-    Returns a list of (labels, nc, ell, passes) per ACCEPTED level —
-    empty if even the first round failed its window/degree checks (caller
-    falls back to the per-round path).  The last accepted level either
-    satisfies ``nc ≤ max_coarse_size``/tou/no-progress, or the caller
-    re-enters (under-speculation).
-    """
-    stat = dict(ktg=float(cfg.ktg), checkdd=float(cfg.checkdd),
-                trspos=float(cfg.trspos),
-                fracnegrcsum=float(cfg.fracnegrcsum),
-                max_rounds=int(cfg.max_matching_rounds),
-                symmetric=bool(cfg.symmetric), mu_mode=str(cfg.mu_mode))
-    nt = _TAIL_NPAD // 1024
-
+def _tail_dispatch(mat: ELL, cfg: AggregationConfig, max_rounds: int,
+                   max_coarse_size: int):
+    """Dispatch up to ``max_rounds`` fixed-shape tail rounds with no
+    host sync.  Returns (chain, packed) — per-round device handles and
+    the single concatenated packed vector."""
+    stat = _fused_stat(cfg)
     est = mat.nrows
     n_disp = 0
     chain = []            # per round: device handles
@@ -904,15 +898,23 @@ def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
         cur = c2
         est = max(int(est * 0.35), 1)
         n_disp += 1
+    return chain, _concat_packed(*packeds)
 
-    p = np.asarray(_concat_packed(*packeds))    # THE tail readback
-    # per-round packed layout (all tiles counts == nt):
+
+def _tail_decode(p: np.ndarray, n_rounds: int, nnz_in: int,
+                 cfg: AggregationConfig, entry_nrows: int,
+                 max_coarse_size: int) -> list[dict]:
+    """Replay the tail acceptance logic on the packed readback.
+    Returns one meta dict per ACCEPTED level:
+    {round, passes, nc, nc1, nnz1, nnz2, oc}."""
+    nt = _TAIL_NPAD // 1024
+    # per-round packed layout (all tile counts == nt):
     # [nc1, mm(2nt)] [nnz1, deg1, fits1, ok1, oc1(2nt)]
     # [nc2, mm(2nt)] [nnz2, deg2, fits2, ok2, oc2(2nt)]
     stride = (1 + 2 * nt) * 2 + (4 + 2 * nt) * 2
     out = []
-    prev_n, prev_nnz = mat.nrows, nnz_in
-    for r, ch in enumerate(chain):
+    prev_n = entry_nrows
+    for r in range(n_rounds):
         o1 = r * stride
         o2 = o1 + 1 + 2 * nt
         o3 = o2 + 4 + 2 * nt
@@ -923,41 +925,147 @@ def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
         nnz2, deg2, fits2, ok2 = (int(x) for x in p[o4:o4 + 4])
         oc1 = p[o2 + 4: o2 + 4 + 2 * nt]
         oc2 = p[o4 + 4: o4 + 4 + 2 * nt]
-
-        def finish(ell_b: ELL, nc: int, oc) -> ELL:
-            import dataclasses
-            from ..ops import gather_pallas as gp
-            e = dataclasses.replace(ell_b, nrows=nc, ncols=nc)
-            plan = gp.plan_from_minmax(oc[:nt], oc[nt:], nc)
-            if plan is not None:
-                b, wr, nsrc = plan
-                e = dataclasses.replace(e, base_blk=jnp.asarray(b), wr=wr,
-                                        nsrc=nsrc)
-            return e
-
         if not fits1 or not ok1 or deg1 > _TAIL_K or nc1 <= 0 \
                 or nc1 >= prev_n:
             break                       # invalid round: keep the prefix
         exit1 = (nnz1 <= nnz_in / cfg.tou
                  or (cfg.max_restriction and nc1 < cfg.max_restriction))
-        if exit1 or cfg.npass == 1:
-            out.append((ch["labels1"], nc1, finish(ch["c1"], nc1, oc1),
-                        [PassInfo(nc=nc1, nnz=nnz1)]))
+        if exit1 or cfg.npass == 1 or not fits2 or not ok2 \
+                or deg2 > _TAIL_K or nc2 <= 0 or nc2 >= prev_n:
+            # early exit, or pass 2 invalid with pass 1 a valid level
+            out.append(dict(round=r, passes=1, nc=nc1, nc1=nc1,
+                            nnz1=nnz1, nnz2=None, oc=oc1))
             return out
-        if not fits2 or not ok2 or deg2 > _TAIL_K or nc2 <= 0 \
-                or nc2 >= prev_n:
-            # pass 2 invalid but pass 1 is a complete valid level
-            out.append((ch["labels1"], nc1, finish(ch["c1"], nc1, oc1),
-                        [PassInfo(nc=nc1, nnz=nnz1)]))
-            return out
-        out.append((ch["labels_r"], nc2, finish(ch["c2"], nc2, oc2),
-                    [PassInfo(nc=nc1, nnz=nnz1),
-                     PassInfo(nc=nc2, nnz=nnz2)]))
+        out.append(dict(round=r, passes=2, nc=nc2, nc1=nc1,
+                        nnz1=nnz1, nnz2=nnz2, oc=oc2))
         if nc2 <= max_coarse_size:
             return out
         prev_n = nc2
         nnz_in = nnz2
     return out
+
+
+def _tail_finish(ell_b: ELL, nc: int, oc) -> tuple[ELL, tuple | None]:
+    import dataclasses
+    from ..ops import gather_pallas as gp
+    nt = _TAIL_NPAD // 1024
+    e = dataclasses.replace(ell_b, nrows=nc, ncols=nc)
+    plan_host = None
+    plan = gp.plan_from_minmax(oc[:nt], oc[nt:], nc)
+    if plan is not None:
+        b, wr, nsrc = plan
+        plan_host = (np.asarray(b, np.int32).tolist(), wr, nsrc)
+        e = dataclasses.replace(e, base_blk=jnp.asarray(b), wr=wr,
+                                nsrc=nsrc)
+        e._host_base = np.asarray(b, np.int32)
+    return e, plan_host
+
+
+def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
+                max_rounds: int, max_coarse_size: int,
+                rec_out: list | None = None):
+    """Run up to ``max_rounds`` speculative fused rounds at the tail shape
+    with a single readback.
+
+    Returns a list of (labels, nc, ell, passes) per ACCEPTED level —
+    empty if even the first round failed its window/degree checks (caller
+    falls back to the per-round path).  The last accepted level either
+    satisfies ``nc ≤ max_coarse_size``/tou/no-progress, or the caller
+    re-enters (under-speculation).  ``rec_out`` collects ladder records
+    per accepted level.
+    """
+    chain, packed = _tail_dispatch(mat, cfg, max_rounds, max_coarse_size)
+    p = np.asarray(packed)              # THE tail readback
+    metas = _tail_decode(p, len(chain), nnz_in, cfg, mat.nrows,
+                         max_coarse_size)
+    out = []
+    for m in metas:
+        ch = chain[m["round"]]
+        which = "c1" if m["passes"] == 1 else "c2"
+        labels = ch["labels1"] if m["passes"] == 1 else ch["labels_r"]
+        ell, plan_host = _tail_finish(ch[which], m["nc"], m["oc"])
+        passes = ([PassInfo(nc=m["nc"], nnz=m["nnz1"])]
+                  if m["passes"] == 1 else
+                  [PassInfo(nc=m["nc1"], nnz=m["nnz1"]),
+                   PassInfo(nc=m["nc"], nnz=m["nnz2"])])
+        out.append((labels, m["nc"], ell, passes))
+        if rec_out is not None:
+            rec_out.append(dict(
+                passes=m["passes"], nc=m["nc"], nc1=m["nc1"],
+                nnz1=m["nnz1"], nnz2=m["nnz2"],
+                plan=plan_host[0] if plan_host else None,
+                wr=plan_host[1] if plan_host else None,
+                nsrc=plan_host[2] if plan_host else None))
+    return out
+
+
+def tail_replay(mat: ELL, cfg: AggregationConfig, recs: list,
+                max_rounds: int, max_coarse_size: int):
+    """Replay recorded tail levels with no blocking readback.  Returns
+    (levels, pending) or None when the recorded structure cannot map
+    onto this dispatch."""
+    import dataclasses
+    chain, packed = _tail_dispatch(mat, cfg, max_rounds, max_coarse_size)
+    if not recs or len(recs) > len(chain):
+        return None
+    try:
+        packed.copy_to_host_async()
+    except Exception:
+        pass
+    out = []
+    for i, rec in enumerate(recs):
+        ch = chain[i]
+        which = "c1" if rec["passes"] == 1 else "c2"
+        labels = ch["labels1"] if rec["passes"] == 1 else ch["labels_r"]
+        e = dataclasses.replace(ch[which], nrows=rec["nc"],
+                                ncols=rec["nc"])
+        if rec.get("plan") is not None:
+            hb = np.asarray(rec["plan"], np.int32)
+            e = dataclasses.replace(e, base_blk=jnp.asarray(hb),
+                                    wr=rec["wr"], nsrc=rec["nsrc"])
+            e._host_base = hb
+        else:
+            e = dataclasses.replace(e, base_blk=None, wr=None, nsrc=None)
+        passes = ([PassInfo(nc=rec["nc"], nnz=rec["nnz1"])]
+                  if rec["passes"] == 1 else
+                  [PassInfo(nc=rec["nc1"], nnz=rec["nnz1"]),
+                   PassInfo(nc=rec["nc"], nnz=rec["nnz2"])])
+        out.append((labels, rec["nc"], e, passes))
+    return out, ("tail", packed, len(chain), recs, mat.nrows)
+
+
+def _validate_tail(pend, nnz_in: int, cfg: AggregationConfig,
+                   max_coarse_size: int) -> bool:
+    """Check the streamed tail readback reproduces the recorded
+    acceptance exactly (+ window coverage of the recorded plans)."""
+    _, packed, n_rounds, recs, entry_nrows = pend
+    from ..ops import gather_pallas as gp
+    nt = _TAIL_NPAD // 1024
+    try:
+        p = np.asarray(packed)
+        metas = _tail_decode(p, n_rounds, nnz_in, cfg, entry_nrows,
+                             max_coarse_size)
+    except Exception:
+        return False
+    if len(metas) != len(recs):
+        return False
+    for m, rec in zip(metas, recs):
+        if (m["passes"] != rec["passes"] or m["nc"] != rec["nc"]
+                or m["nc1"] != rec["nc1"] or m["nnz1"] != rec["nnz1"]
+                or m["nnz2"] != rec["nnz2"]):
+            return False
+        if rec.get("plan") is not None:
+            base = np.asarray(rec["plan"], np.int64)
+            wr = rec["wr"]
+            wbl = gp._wb(wr) * 128
+            nc_pad = max(((rec["nc"] + 1023) // 1024) * 1024, 1024)
+            ntc = min(base.shape[0], nc_pad // 1024, nt)
+            lo = base[:ntc] * wbl
+            if not (np.all(m["oc"][:ntc] >= lo)
+                    and np.all(m["oc"][nt: nt + ntc]
+                               < lo + 2 * wr * 128)):
+                return False
+    return True
 
 
 @dataclass
@@ -1007,6 +1115,7 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
     ladder = None
     lkey = None
     recs: list = []
+    tail_recs: list = []
     pendings: list = []
     nnz0_dev = None
     if (tail_ok and a.shard is None and a.npad > _TAIL_NPAD
@@ -1030,9 +1139,30 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
             if tmat is not None:
                 nnz_in = cur_nnz if cur_nnz is not None else cur.nnz
                 budget = min(cfg.max_levels - len(mats), 8)
-                with _timer.phase("aggregation.tail"):
-                    got = tail_rounds(tmat, cfg.aggregation, nnz_in,
-                                      budget, cfg.max_coarse_size)
+                got = None
+                if ladder and ladder.get("tail"):
+                    with _timer.phase("aggregation.tail"):
+                        rep = tail_replay(tmat, cfg.aggregation,
+                                          ladder["tail"], budget,
+                                          cfg.max_coarse_size)
+                    if rep is not None:
+                        got, pend = rep
+                        pendings.append(pend + (nnz_in,))
+                    else:
+                        if not _ladder_validate(pendings, nnz0_dev,
+                                                ladder, cfg):
+                            return build_amg_setup(a, cfg, timer=timer,
+                                                   _use_ladder=False)
+                        ladder = None
+                        pendings = []
+                if got is None:
+                    recs_tail: list = []
+                    with _timer.phase("aggregation.tail"):
+                        got = tail_rounds(tmat, cfg.aggregation, nnz_in,
+                                          budget, cfg.max_coarse_size,
+                                          rec_out=recs_tail)
+                    if recs_tail:
+                        tail_recs = recs_tail
                 if got:
                     for (lab, nc, ell_l, ps) in got:
                         labels.append(lab)
@@ -1055,7 +1185,7 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
                 # ladder ran out mid-hierarchy (or an unreplayable
                 # round): validate what we replayed before continuing
                 # on results derived from it
-                if not _ladder_validate(pendings, nnz0_dev, ladder):
+                if not _ladder_validate(pendings, nnz0_dev, ladder, cfg):
                     return build_amg_setup(a, cfg, timer=timer,
                                            _use_ladder=False)
                 ladder = None
@@ -1081,13 +1211,13 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
         rounds.append(res)
         cur = coarse
     if pendings:
-        if not _ladder_validate(pendings, nnz0_dev, ladder):
+        if not _ladder_validate(pendings, nnz0_dev, ladder, cfg):
             return build_amg_setup(a, cfg, timer=timer, _use_ladder=False)
     elif (lkey is not None and recs
           and all(r is not None for r in recs)):
         # clean blocking run: record the ladder for future replays
         _LADDER[lkey] = {"nnz0": int(np.asarray(jnp.sum(a.rownnz))),
-                         "rounds": recs}
+                         "rounds": recs, "tail": tail_recs}
         _ladder_save()
     smoothed = cfg.smooth_p is not None
     return SetupResult(matrices=mats, level_labels=labels, rounds=rounds,
@@ -1107,7 +1237,8 @@ def can_fuse_shape(mat: ELL, cfg: AggregationConfig) -> bool:
             and os.environ.get("MGS_NO_FUSED_SETUP") != "1")
 
 
-def _ladder_validate(pendings, nnz0_dev, ladder) -> bool:
+def _ladder_validate(pendings, nnz0_dev, ladder,
+                     cfg: HierarchyConfig) -> bool:
     """Block on the streamed packed readbacks and check every replayed
     round's scalars against its record."""
     try:
@@ -1115,7 +1246,14 @@ def _ladder_validate(pendings, nnz0_dev, ladder) -> bool:
                 ladder.get("nnz0") is not None:
             if int(np.asarray(nnz0_dev)) != ladder["nnz0"]:
                 return False
-        return all(_validate_pending(p) for p in pendings)
+        for p in pendings:
+            if isinstance(p[0], str) and p[0] == "tail":
+                if not _validate_tail(p[:5], p[5], cfg.aggregation,
+                                      cfg.max_coarse_size):
+                    return False
+            elif not _validate_pending(p):
+                return False
+        return True
     except Exception:
         return False
 
