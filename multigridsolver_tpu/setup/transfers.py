@@ -210,6 +210,97 @@ def build_transfer_plan(labels: jnp.ndarray, nc_pad: int) -> TransferPlan:
     return drive([transfer_plan_staged(labels, nc_pad)])[0]
 
 
+def tplan_record(tp: TransferPlan) -> dict | None:
+    """Ladder record of a unit transfer plan's derived structure, or
+    None when the member-overflow split path was taken."""
+    if tp.weighted or tp.m_ov_rows is not None:
+        return None
+
+    def plan_of(base, wr, nsrc):
+        if base is None:
+            return None
+        return (np.asarray(base).astype(int).tolist(), wr, nsrc)
+
+    return dict(km=int(tp.m_cols.shape[0]) if tp.m_cols is not None
+                else 0,
+                p=plan_of(tp.p_base, tp.p_wr, tp.p_nsrc),
+                m=plan_of(tp.m_base, tp.m_wr, tp.m_nsrc))
+
+
+def tplan_replay(labels: jnp.ndarray, nc_pad: int, rec: dict):
+    """Rebuild a unit transfer plan from a ladder record, no host sync.
+    Returns (tplan, pending) for end-of-build validation."""
+    npad = labels.shape[0]
+    npad_f = _round_up(npad, gp.T)
+    nc_t = _round_up(nc_pad, gp.T)
+    labels, p_cols, p_vals, p_rnnz = _prolong_arrays(labels,
+                                                     npad_f=npad_f)
+    km_dev = _max_agg_size(labels)
+    p_minmax = gp.plan_windows_device(p_cols, p_rnnz, npad_f // gp.T)
+    km = rec["km"]
+
+    def attach(plan):
+        if plan is None:
+            return None, None, None
+        b, wr, nsrc = plan
+        return jnp.asarray(np.asarray(b, np.int32)), wr, nsrc
+
+    p_base, p_wr, p_nsrc = attach(rec.get("p"))
+    m_base = m_wr = m_nsrc = None
+    m_minmax = None
+    if km > 0:
+        m_cols, m_vals, m_rnnz, _ = _members_ell(labels, km, nc_t)
+        m_base, m_wr, m_nsrc = attach(rec.get("m"))
+        if m_base is not None:
+            m_minmax = gp.plan_windows_device(m_cols, m_rnnz,
+                                              nc_t // gp.T)
+    else:
+        m_cols = jnp.zeros((1, nc_t), jnp.int32)
+        m_vals = jnp.zeros((1, nc_t), jnp.float32)
+    pend = dict(kind="tplan", km=km_dev, p_minmax=p_minmax,
+                m_minmax=m_minmax, rec=rec)
+    for t in (km_dev,) + tuple(p_minmax) + tuple(m_minmax or ()):
+        try:
+            t.copy_to_host_async()
+        except Exception:
+            pass
+    tp = TransferPlan(p_cols=p_cols, p_vals=p_vals, p_base=p_base,
+                      m_cols=m_cols, m_vals=m_vals, m_base=m_base,
+                      p_wr=p_wr, p_nsrc=p_nsrc, m_wr=m_wr, m_nsrc=m_nsrc,
+                      npad_f=npad_f, nc_pad=nc_pad)
+    return tp, pend
+
+
+def _covers(minmax, plan) -> bool:
+    cmin = np.asarray(minmax[0]).astype(np.int64)
+    cmax = np.asarray(minmax[1]).astype(np.int64)
+    b, wr, nsrc = plan
+    base = np.asarray(b, np.int64)
+    wbl = gp._wb(wr) * 128
+    n = min(base.shape[0], cmin.shape[0])
+    lo = base[:n] * wbl
+    return bool(np.all(cmin[:n] >= lo)
+                and np.all(cmax[:n] < lo + 2 * wr * 128)
+                and np.all(cmax[:n] < nsrc))
+
+
+def tplan_validate(pend) -> bool:
+    rec = pend["rec"]
+    try:
+        if int(np.asarray(pend["km"])) != rec["km"]:
+            return False
+        if rec.get("p") is not None and \
+                not _covers(pend["p_minmax"], rec["p"]):
+            return False
+        if rec.get("m") is not None:
+            if pend["m_minmax"] is None or \
+                    not _covers(pend["m_minmax"], rec["m"]):
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def _gather_spmv(cols, vals, x, base, wr, nsrc):
     if wr is not None and x.dtype == jnp.float32:
         return gp.windowed_gather_spmv(cols, vals, x, base, wr, nsrc)

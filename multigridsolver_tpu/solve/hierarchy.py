@@ -31,7 +31,12 @@ import jax.numpy as jnp
 from ..sparse.formats import ELL
 from ..sparse import ops
 from ..setup.prolongation import prolong, restrict
+from ..utils.diskstore import JsonStore
 from .smoothers import Smoother, make_smoother
+
+# hierarchy ladder: recorded hybrid/transfer structure per level-shape
+# signature (see build_hierarchy)
+_HLADDER = JsonStore("hier_ladder.json")
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -217,6 +222,7 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
                     combination: str = "multiplicative",
                     p_ops: list[ELL] | None = None,
                     pt_ops: list[ELL] | None = None,
+                    _use_ladder: bool = True,
                     **smoother_kw) -> Hierarchy:
     """Assemble a Hierarchy from setup outputs.
 
@@ -230,7 +236,8 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
     """
     from ..sparse import hybrid as hyb
     from ..ops import gather_pallas as gp
-    from ..setup.transfers import transfer_plan_staged
+    from ..setup.transfers import (transfer_plan_staged, tplan_record,
+                                   tplan_replay, tplan_validate)
     from ..utils.staging import drive
 
     use_plans = jax.default_backend() == "tpu" or gp.INTERPRET
@@ -249,24 +256,59 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
             lab = lab[: fine.npad]
         labs.append(lab)
 
-    # build every level's hybrid split + transfer plan as staged
-    # generators driven in lockstep: each stage's host readbacks across
-    # ALL levels batch into one device_get (over the TPU tunnel a
-    # blocking readback is ~50 ms, so the serial per-level form spent
-    # seconds in pure round-trips — utils/staging.py)
     nlv = len(level_labels)
-    gens = []
-    for l in range(nlv):
-        if use_hybrid:
-            gens.append(hyb.hybrid_staged(mats[l]))
-        if use_plans and p_ops is None:
-            gens.append(transfer_plan_staged(labs[l], mats[l + 1].npad))
     from ..utils import precompile as _pool
     mc = min(max((mats[-1].nrows + 7) // 8 * 8, 8), mats[-1].npad)
     _pool.warm(_coarse_factor, _pool.abstract_of(mats[-1]), m=mc)
-    staged = drive(gens)
+
+    # hierarchy ladder: replay the recorded hybrid splits + transfer
+    # plans with no host sync; validate the streamed scalars at the end
+    # (same pattern as the setup ladder — see setup/aggregation.py)
+    hkey = None
+    pendings: list = []
+    staged = None
     per_level = (1 if use_hybrid else 0) + (
         1 if (use_plans and p_ops is None) else 0)
+    if use_hybrid and use_plans and p_ops is None and _use_ladder:
+        import json
+        hkey = json.dumps([[(m.npad, m.k, m.wr) for m in mats],
+                           smoother_kind])
+        lad = _HLADDER.get(hkey)
+        if lad is not None:
+            staged = []
+            try:
+                for l in range(nlv):
+                    h, pend_h = hyb.hybrid_replay(mats[l],
+                                                  lad["hyb"][l])
+                    tp, pend_t = tplan_replay(labs[l], mats[l + 1].npad,
+                                              lad["tp"][l])
+                    staged += [h, tp]
+                    pendings += [pend_h, pend_t]
+            except Exception:
+                staged = None
+                pendings = []
+
+    if staged is None:
+        # build every level's hybrid split + transfer plan as staged
+        # generators driven in lockstep: each stage's host readbacks
+        # across ALL levels batch into one device_get (over the TPU
+        # tunnel a blocking readback is ~50 ms, so the serial per-level
+        # form spent seconds in pure round-trips — utils/staging.py)
+        gens = []
+        for l in range(nlv):
+            if use_hybrid:
+                gens.append(hyb.hybrid_staged(mats[l]))
+            if use_plans and p_ops is None:
+                gens.append(transfer_plan_staged(labs[l],
+                                                 mats[l + 1].npad))
+        staged = drive(gens)
+        if hkey is not None and _HLADDER.get(hkey) is None:
+            hrecs = [hyb.hybrid_record(staged[l * per_level])
+                     for l in range(nlv)]
+            trecs = [tplan_record(staged[l * per_level + 1])
+                     for l in range(nlv)]
+            if all(r is not None for r in hrecs + trecs):
+                _HLADDER.put(hkey, {"hyb": hrecs, "tp": trecs})
 
     if smoother_kind == "chebyshev":
         # every level's operator is concrete now: compile all power
@@ -296,8 +338,19 @@ def build_hierarchy(a: ELL, level_labels: list[np.ndarray | jnp.ndarray],
         sm = make_smoother(op, kind=smoother_kind, ell=fine, **smoother_kw)
         levels.append(Level(a=op, labels=labs[l], smoother=sm, tplan=tplan,
                             nc_pad=coarse.npad))
-    return Hierarchy(levels=tuple(levels),
-                     coarse=make_coarse_solve(mats[-1]),
+    coarse_solve = make_coarse_solve(mats[-1])
+    if pendings:
+        ok = all((hyb.hybrid_validate(p) if p["kind"] == "hyb"
+                  else tplan_validate(p)) for p in pendings)
+        if not ok:
+            return build_hierarchy(
+                a, level_labels, coarse_ops, smoother_kind=smoother_kind,
+                cycle=cycle, pre_smooth=pre_smooth,
+                post_smooth=post_smooth, use_hybrid=use_hybrid,
+                kcycle_depth=kcycle_depth, combination=combination,
+                p_ops=p_ops, pt_ops=pt_ops, _use_ladder=False,
+                **smoother_kw)
+    return Hierarchy(levels=tuple(levels), coarse=coarse_solve,
                      cycle=cycle, pre_smooth=pre_smooth,
                      post_smooth=post_smooth, kcycle_depth=kcycle_depth,
                      combination=combination)

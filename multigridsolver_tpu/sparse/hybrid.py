@@ -386,6 +386,102 @@ def hybrid_staged(a: ELL, max_diags: int = 48, min_fill: float = 0.02):
                wr=wr, nsrc_pad=nsrc_pad)
 
 
+def hybrid_record(h: HYB) -> dict | None:
+    """Ladder record of a hybrid's derived structure (host scalars +
+    plan base), or None when the split/overflow path was taken (those
+    levels stay on the staged build).  Called once per shape on the
+    blocking path — the np.asarray fetch is the recording cost."""
+    if h.ov is not None:
+        return None
+    k_rest = h.ell.k if h.ell is not None else 0
+    plan = None
+    if h.base_blk is not None:
+        plan = (np.asarray(h.base_blk).astype(int).tolist(), h.wr,
+                h.nsrc_pad)
+    return dict(offsets=list(h.offsets), k_rest=k_rest, plan=plan)
+
+
+def hybrid_replay(a: ELL, rec: dict):
+    """Rebuild the hybrid split from a ladder record with NO host sync.
+
+    Returns (hyb, pending) — ``pending`` carries the device handles the
+    end-of-build validation fetches asynchronously: the offsets sample,
+    the remainder slot bound, and the remainder plan min/max."""
+    from ..ops import gather_pallas as gp
+    offs = tuple(rec["offsets"])
+    k_rest = rec["k_rest"]
+    dvals, rcols, rvals, rnnz, rmax = _split_by_offsets(a, offs)
+    ell = None
+    base_blk = wr = nsrc_pad = None
+    cminmax = None
+    if k_rest > 0:
+        mc, mv = _mask_remainder(rcols, rvals, rnnz, k_rest=k_rest)
+        ell = ELL(cols=mc, vals=mv, rownnz=rnnz, nrows=a.nrows,
+                  ncols=a.ncols)
+        if rec.get("plan") is not None:
+            b, wr, nsrc_pad = rec["plan"]
+            npad_t = _round_up(ell.npad, gp.T)
+            if npad_t != ell.npad:
+                ell = ELL(cols=jnp.pad(ell.cols,
+                                       ((0, 0), (0, npad_t - ell.npad))),
+                          vals=jnp.pad(ell.vals,
+                                       ((0, 0), (0, npad_t - ell.npad))),
+                          rownnz=jnp.pad(ell.rownnz,
+                                         (0, npad_t - ell.npad)),
+                          nrows=ell.nrows, ncols=ell.ncols)
+            base_blk = jnp.asarray(np.asarray(b, np.int32))
+            cminmax = gp.plan_windows_device(ell.cols, ell.rownnz,
+                                             ell.npad // gp.T)
+    stride = max(1, a.npad // 4096)
+    sample = _sample_sliver(a.cols, a.rownnz, stride=stride)
+    pend = dict(kind="hyb", sample=sample, stride=stride, rmax=rmax,
+                cminmax=cminmax, rec=rec, nrows=a.nrows, npad=a.npad)
+    for t in (sample[0], sample[1], rmax) + (cminmax or ()):
+        try:
+            t.copy_to_host_async()
+        except Exception:
+            pass
+    hyb = HYB(dvals=dvals, ell=ell, base_blk=base_blk, ov=None,
+              offsets=offs, nrows=a.nrows, ncols=a.ncols, wr=wr,
+              nsrc_pad=nsrc_pad)
+    return hyb, pend
+
+
+def hybrid_validate(pend, max_diags: int = 48,
+                    min_fill: float = 0.02) -> bool:
+    """Check a replayed hybrid's record against the streamed handles."""
+    from ..ops import gather_pallas as gp
+    rec = pend["rec"]
+    try:
+        if int(np.asarray(pend["rmax"])) != rec["k_rest"]:
+            return False
+        sample_cols = np.asarray(pend["sample"][0])
+        sample_nnz = np.asarray(pend["sample"][1])
+        rows = np.arange(pend["npad"], dtype=np.int64)[:: pend["stride"]]
+        offs = _offsets_from_host_sample(sample_cols, sample_nnz, rows,
+                                         pend["nrows"], pend["npad"],
+                                         max_diags, min_fill)
+        if list(offs) != list(rec["offsets"]):
+            return False
+        if rec.get("plan") is not None:
+            if pend["cminmax"] is None:
+                return False
+            cmin = np.asarray(pend["cminmax"][0]).astype(np.int64)
+            cmax = np.asarray(pend["cminmax"][1]).astype(np.int64)
+            b, wr, nsrc = rec["plan"]
+            base = np.asarray(b, np.int64)
+            wbl = gp._wb(wr) * 128
+            n = min(base.shape[0], cmin.shape[0])
+            lo = base[:n] * wbl
+            if not (np.all(cmin[:n] >= lo)
+                    and np.all(cmax[:n] < lo + 2 * wr * 128)
+                    and np.all(cmax[:n] < nsrc)):
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def hybrid_from_ell_device(a: ELL, max_diags: int = 48,
                            min_fill: float = 0.02) -> HYB:
     """Blocking wrapper around :func:`hybrid_staged` for one-shot use."""
