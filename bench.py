@@ -232,6 +232,51 @@ def main():
                "sky80_vs_baseline": round(7.705 / sky_solve, 2),
                "sky80_levels": [m.nrows for m in setup80.matrices]}
 
+    # --- poisson2000: the reference's LARGEST solve benchmark
+    # (results.txt:128-144: n=4M, 15.81-16.23 s, 6 iters at 1e-6). ---
+    p20 = {}
+    if os.environ.get("BENCH_SKIP_2000") != "1":
+        t0 = time.perf_counter()
+        lap20 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1],
+                         shape=(2000, 2000), format="csr")
+        eye20 = sp.identity(2000, format="csr")
+        a20 = CSR.from_scipy((sp.kron(lap20, eye20)
+                              + sp.kron(eye20, lap20)).tocsr())
+        log(f"[bench] poisson2000: n={a20.nrows} nnz={a20.nnz} "
+            f"({time.perf_counter()-t0:.1f}s to generate)")
+        ell20 = a20.to_ell(dtype=jnp.float32)
+        t0 = time.perf_counter()
+        s20 = build_amg_setup(ell20, cfg)
+        h20 = build_hierarchy(s20.matrices[0], s20.level_labels,
+                              s20.matrices[1:],
+                              smoother_kind="chebyshev", cycle="kcycle",
+                              pre_smooth=1, post_smooth=1, degree=2,
+                              kcycle_depth=3)
+        device_sync(h20.coarse.lu)
+        p20_build = time.perf_counter() - t0
+        b20 = rs.rand(a20.nrows)
+        r20 = solve_hierarchy(h20, b20, method="bicgstab", tol=1e-6,
+                              maxiter=200)
+        device_sync(r20.x)
+        p20_solve = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r20 = solve_hierarchy(h20, b20, method="bicgstab", tol=1e-6,
+                                  maxiter=200)
+            device_sync(r20.x)
+            p20_solve = min(p20_solve, time.perf_counter() - t0)
+        log(f"[bench] poisson2000 solve: {p20_solve:.3f}s "
+            f"iters={int(r20.iterations)} relres={float(r20.relres):.2e} "
+            f"(CPU baseline 15.81s -> {15.81/p20_solve:.2f}x); "
+            f"setup+build cold={p20_build:.1f}s")
+        p20 = {"p2000_solve_s": p20_solve,
+               "p2000_iterations": int(r20.iterations),
+               "p2000_relres": float(r20.relres),
+               # results.txt:135-144: fastest gpu-P configuration
+               "p2000_solve_vs_baseline": round(15.81 / p20_solve, 2),
+               "p2000_setup_build_cold_s": p20_build}
+        del s20, h20, ell20, a20
+
     # --- poisson3500: the reference's LARGEST setup benchmark
     # (results.txt:30: 12.25 M rows, L4 = 4.39 s, Xeon serial = 27.54 s).
     # Exercises setup HBM behaviour at 12x the headline problem. ---
@@ -269,7 +314,7 @@ def main():
 
     details = {
         "matrix": f"poisson{n_grid}", "n": a.nrows, "nnz": a.nnz,
-        **sky, **p35,
+        **sky, **p20, **p35,
         "setup_cold_s": setup_cold, "setup_warm_s": setup_warm,
         "setup_compile_s": setup_cold - setup_warm,
         "setup_vs_gpu_baseline": baseline_setup_gpu_s / setup_warm,
