@@ -523,9 +523,11 @@ def anchored_base(ntiles: int, wr: int, ncols: int,
     max_base = max((nsrc_pad - 2 * w) // wbl, 0)
     centre = ((np.arange(ntiles, dtype=np.int64) * T + T // 2)
               * stretch).astype(np.int64)
-    # centred window [b·wbl, b·wbl + 2w) on the wb grid: b chosen so the
-    # window start sits ~w before the centre (≥ ~w coverage each side)
-    base = np.clip((centre - w) // wbl, 0, max_base)
+    # centred window [b·wbl, b·wbl + 2w) on the wb grid: round the ideal
+    # start (centre − w) to the NEAREST wbl multiple so both sides keep
+    # ≥ w − wbl/2 coverage — plain floor loses up to wbl on the right,
+    # which at wb == wr (pow2 rungs) can shrink right coverage to ~0
+    base = np.clip((centre - w + wbl // 2) // wbl, 0, max_base)
     return base.astype(np.int32), int(nsrc_pad)
 
 

@@ -65,6 +65,7 @@ def shard_ell_planned(a: ELL, mesh: Mesh) -> ELL | None:
     # window sizes (wr 24→32, 40→48; window start is unchanged, so the
     # wider window still covers every planned column)
     wr = a.wr
+    wbl_old = _wb(a.wr) * 128
     while (wr * 128) % (_wb(wr) * 128) != 0:
         wr += 8
     w = wr * 128
@@ -72,6 +73,13 @@ def shard_ell_planned(a: ELL, mesh: Mesh) -> ELL | None:
     npad = ((a.npad + ndev * w - 1) // (ndev * w)) * (ndev * w)
     npr = npad // ndev
     base = np.asarray(a.base_blk)
+    if wbl != wbl_old:
+        # widening changed the base granularity (wr 24→32: wb 16→32);
+        # the stored bases are in OLD wbl units — rescale so the window
+        # start stays put.  The round-down moves the start ≤ wbl−wbl_old
+        # earlier, which the widened window's extra lanes exactly absorb
+        # (24→32 adds 2·8·128 = 2048 lanes; round-down loses ≤ 2048).
+        base = ((base.astype(np.int64) * wbl_old) // wbl).astype(base.dtype)
     ntiles_old = base.shape[0]
     ntiles = npad // 1024
     if ntiles != ntiles_old:

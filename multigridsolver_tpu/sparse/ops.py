@@ -33,6 +33,13 @@ def take_neighbor(a: ELL, x: jnp.ndarray,
     (e.g. -1 sentinels clamped to 0) must be masked by the caller exactly
     as it already masks the XLA-gather result for sentinel indices.
 
+    INVALID-SLOT CONTRACT: entries at slot ≥ rownnz[i] (and padding rows)
+    return UNSPECIFIED values — the plain XLA gather returns x[padding
+    col], the roll fast path returns the rolled neighbour, the windowed
+    kernel returns clamped-window junk.  Every consumer must mask by slot
+    validity (spmv via vals == 0, strength/matching via slot masks);
+    nothing may branch on an invalid slot's value.
+
     ``x``: (m,) f32 / int32 / bool (bool goes through int32 bits).
     """
     if idx is None:

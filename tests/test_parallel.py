@@ -456,3 +456,63 @@ class TestShardedPlannedGather:
             np.testing.assert_array_equal(
                 np.asarray(l_sh)[:n], np.asarray(l_ref)[:n])
             n = int(np.asarray(l_ref).max()) + 1
+
+
+class TestShardedPlanWidening:
+    """shard_ell_planned widens non-conforming window sizes (wr 24→32);
+    the widening changes the base granularity, so the stored bases must
+    be rescaled or every sharded gather reads the wrong window (ADVICE
+    r4 high)."""
+
+    @pytest.fixture()
+    def interp(self, monkeypatch):
+        from multigridsolver_tpu.ops import gather_pallas as gp
+        monkeypatch.setattr(gp, "INTERPRET", True)
+        for f in (gp.windowed_gather_spmv, gp.windowed_take,
+                  gp.windowed_take_rows):
+            f.clear_cache()
+        yield gp
+        for f in (gp.windowed_gather_spmv, gp.windowed_take,
+                  gp.windowed_take_rows):
+            f.clear_cache()
+
+    def _wr24_ell(self):
+        import scipy.sparse as sp
+        from multigridsolver_tpu.sparse.formats import CSR
+        n = 20000
+        b = 1600
+        a = sp.diags([np.full(n - b, -1.0), np.full(n, 4.0),
+                      np.full(n - b, -1.0)], [-b, 0, b], format="csr")
+        ell = CSR.from_scipy(a).to_ell(dtype=jnp.float32)
+        assert ell.wr == 24, f"plan expected at wr=24, got {ell.wr}"
+        return ell
+
+    def test_widened_bases_cover_all_columns(self, mesh, interp):
+        from multigridsolver_tpu.ops import gather_pallas as gp
+        from multigridsolver_tpu.parallel.dist_setup import shard_ell_planned
+        ell = self._wr24_ell()
+        sh = shard_ell_planned(ell, mesh)
+        assert sh is not None and sh.wr == 32
+        base = np.asarray(sh.base_blk)
+        cols = np.asarray(sh.cols)
+        rn = np.asarray(sh.rownnz)
+        wbl = gp._wb(sh.wr) * 128
+        K, npad = cols.shape
+        valid = np.arange(K)[:, None] < rn[None, :]
+        lo = base[np.arange(npad) // 1024].astype(np.int64) * wbl
+        inwin = (cols >= lo) & (cols < lo + 2 * sh.wr * 128)
+        assert (inwin | ~valid).all(), \
+            "widened plan bases leave stored columns outside the window"
+
+    def test_widened_take_matches_reference(self, mesh, interp):
+        from multigridsolver_tpu.parallel.dist_setup import \
+            shard_ell_planned
+        ell = self._wr24_ell()
+        sh = shard_ell_planned(ell, mesh)
+        assert sh is not None
+        x = jnp.asarray(np.random.RandomState(11)
+                        .rand(sh.npad).astype(np.float32))
+        out = np.asarray(jax.jit(ops.take_neighbor)(sh, x))
+        ref = np.take(np.asarray(x), np.asarray(sh.cols), axis=0)
+        m = np.asarray(sh.slot_mask())
+        np.testing.assert_array_equal(out[m], ref[m])
