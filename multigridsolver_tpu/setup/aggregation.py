@@ -21,6 +21,7 @@ maxlev=40 (dagtwolev_mex.f90:101).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -98,25 +99,35 @@ def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int,
     the coarse matrix without a host readback.  ``plan_ok`` reports
     whether every tile's spread fits the wr_c window.
 
+    ``wr_m`` = 0 runs PLAN-FREE: member fetches ride plain XLA gathers
+    (GSPMD-partitioned under sharding — no Pallas member windows, which
+    have no sharded variant) and ``fits`` reduces to nc ≤ nc_bound.
+    This is the sharded fused round's mode (VERDICT r4 #3).
+
     Packed layout: [nnz_c, max_deg, fits, plan_ok, ocmin(ntb)…,
     ocmax(ntb)…]; returns (cols, vals, rownnz, base_c, packed).
     """
     from .galerkin import galerkin_pair_arrays
     from ..ops.gather_pallas import _wb
-    mem_cmin, mem_cmax = member_window_minmax(labels)
     nc = jnp.max(labels) + 1
     npad = a.npad
-    w = wr_m * 128
-    wbm = _wb(wr_m) * 128
-    nsrc_m = ((npad + 2 * w + 127) // 128) * 128
-    max_base = max((nsrc_m - 2 * w) // wbm, 0)
     ntb = nc_bound // 1024
-    base_m = jnp.clip(mem_cmin[:ntb] // wbm, 0, max_base)
-    fits = (jnp.all(mem_cmax[:ntb]
-                    < base_m.astype(jnp.int64) * wbm + 2 * w)
-            & (nc <= nc_bound))
-    cols, vals, rownnz, info, vt = galerkin_pair_arrays(
-        a, paired, labels, nc_bound, base_m, wr_m, nsrc_m)
+    if wr_m > 0:
+        mem_cmin, mem_cmax = member_window_minmax(labels)
+        w = wr_m * 128
+        wbm = _wb(wr_m) * 128
+        nsrc_m = ((npad + 2 * w + 127) // 128) * 128
+        max_base = max((nsrc_m - 2 * w) // wbm, 0)
+        base_m = jnp.clip(mem_cmin[:ntb] // wbm, 0, max_base)
+        fits = (jnp.all(mem_cmax[:ntb]
+                        < base_m.astype(jnp.int64) * wbm + 2 * w)
+                & (nc <= nc_bound))
+        cols, vals, rownnz, info, vt = galerkin_pair_arrays(
+            a, paired, labels, nc_bound, base_m, wr_m, nsrc_m)
+    else:
+        fits = nc <= nc_bound
+        cols, vals, rownnz, info, vt = galerkin_pair_arrays(
+            a, paired, labels, nc_bound, None, None, None)
     if wr_c > 0 and info.shape[0] > 2:
         wc = wr_c * 128
         wbc = _wb(wr_c) * 128
@@ -139,6 +150,58 @@ def _galerkin_bound(a: ELL, paired, labels, wr_m: int, nc_bound: int,
 @jax.jit
 def _concat_packed(*ps):
     return jnp.concatenate(ps)
+
+
+@partial(jax.jit, static_argnames=("ktg", "checkdd", "trspos",
+                                   "fracnegrcsum", "max_rounds",
+                                   "symmetric", "mu_mode", "wr_g", "ncb",
+                                   "wr_c1", "nsrc_c1", "wr_g2", "wr_c2",
+                                   "tk"))
+def _round_program(mat: ELL, ktg: float, checkdd: float, trspos: float,
+                   fracnegrcsum: float, max_rounds: int, symmetric: bool,
+                   mu_mode: str, wr_g: int, ncb: int, wr_c1: int,
+                   nsrc_c1: int, wr_g2: int, wr_c2: int = 0,
+                   tk: int = 0):
+    """BOTH passes of one fused aggregation round as ONE XLA program.
+
+    The reference's GPU pass is ~10 kernel launches with host scalar
+    readbacks between them (main.cu:95-277); round 3 fused ours to 4
+    programs + 1 readback, and this collapses the 4 into one — the last
+    per-program dispatch latencies of the warm setup path (measured the
+    round-4 bottleneck on csky3d80: 0.32 s vs the L4's 0.09 s with all
+    readbacks already removed).  Round 3 rejected this fusion for a
+    Mosaic miscompile (~19 % of coarse rows dropped at sky scale);
+    tools/repro_fused_mosaic.py now verifies the fusion BITWISE on the
+    current toolchain (poisson1000 + csky3d80), and the setup-ladder
+    validation re-checks every replay at runtime.
+
+    ``tk`` > 0 is the tail variant: coarse outputs are k-sliced to the
+    tail slot rung between passes.  ``wr_c2`` > 0 derives pass-2's own
+    coarse window plan (tail chaining).  Dispatched only when the pool
+    reports its compile landed (`pool.ready`) so cold starts keep the
+    4-program parallel-compile path.
+    """
+    stat = dict(ktg=ktg, checkdd=checkdd, trspos=trspos,
+                fracnegrcsum=fracnegrcsum, max_rounds=max_rounds,
+                symmetric=symmetric, mu_mode=mu_mode)
+    paired1, labels1, packed1, _, _ = _match_pass(
+        mat, first_pass=True, **stat)
+    c1c, c1v, c1r, base1, packed2, c1t = _galerkin_bound(
+        mat, paired1, labels1, wr_m=wr_g, nc_bound=ncb, wr_c=wr_c1)
+    if tk:
+        c1c, c1v, c1r, c1t = _tail_kslice(c1c, c1v, c1r, c1t, tk=tk)
+    c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=ncb, ncols=ncb,
+             base_blk=base1, wr=wr_c1, nsrc=nsrc_c1, vals_t=c1t)
+    paired2, labels2, packed3, _, _ = _match_pass(
+        c1, first_pass=False, **stat)
+    c2c, c2v, c2r, base2, packed4, c2t = _galerkin_bound(
+        c1, paired2, labels2, wr_m=wr_g2, nc_bound=ncb, wr_c=wr_c2)
+    if tk:
+        c2c, c2v, c2r, c2t = _tail_kslice(c2c, c2v, c2r, c2t, tk=tk)
+    labels_r = compose_labels(labels1, labels2)
+    packed = _concat_packed(packed1, packed2, packed3, packed4)
+    return (labels1, labels_r, c1c, c1v, c1r, c1t, base1,
+            c2c, c2v, c2r, c2t, base2, packed)
 
 
 # per-shape tuned window widths for the fused round's chained programs
@@ -183,6 +246,16 @@ def _tune_save() -> None:
         pass
 
 
+def _use_single_round() -> bool:
+    """Single-program fused rounds are a real-backend optimisation: the
+    pool's compiled-under-INTERPRET executables must never leak across
+    the interpret flag (tests flip it), so interpret runs keep the
+    4-program path — which is the same computation, program-for-program."""
+    from ..ops import gather_pallas as gp
+    return (not gp.INTERPRET
+            and os.environ.get("MGS_NO_SINGLE_ROUND") != "1")
+
+
 def _fused_stat(cfg: AggregationConfig) -> dict:
     return dict(ktg=float(cfg.ktg), checkdd=float(cfg.checkdd),
                 trspos=float(cfg.trspos),
@@ -200,16 +273,53 @@ def _dispatch_fused_round(mat: ELL, cfg: AggregationConfig) -> dict:
     ntf = npad // 1024
     ncb = min(npad, ((int(0.625 * npad) + 1023) // 1024) * 1024)
     ntb = ncb // 1024
+    # plan-free mode (sharded or plan-less operators): every gather is a
+    # plain XLA op GSPMD can partition — no Pallas member windows, no
+    # speculative coarse plan; same 4-program / one-readback structure
+    planfree = mat.shard is not None or mat.base_blk is None
+    stat = _fused_stat(cfg)
+    if planfree:
+        wr_g = wr_c1 = wr_g2 = 0
+        tkey, tune = None, {}
+        paired1, labels1, packed1, si, zerors = _match_pass(
+            mat, first_pass=True, **stat)
+        c1c, c1v, c1r, _, packed2, c1t = _galerkin_bound(
+            mat, paired1, labels1, wr_m=0, nc_bound=ncb, wr_c=0)
+        c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=ncb, ncols=ncb,
+                 vals_t=c1t, shard=None)
+        paired2, labels2, packed3, _, _ = _match_pass(
+            c1, first_pass=False, **stat)
+        c2c, c2v, c2r, _, packed4, c2t = _galerkin_bound(
+            c1, paired2, labels2, wr_m=0, nc_bound=ncb)
+        packed = _concat_packed(packed1, packed2, packed3, packed4)
+        return dict(labels1=labels1, labels2=labels2,
+                    c1c=c1c, c1v=c1v, c1r=c1r, c1t=c1t,
+                    c2c=c2c, c2v=c2v, c2r=c2r, c2t=c2t,
+                    packed=packed, tkey=tkey, tune=tune, planfree=True,
+                    ntf=ntf, ntb=ntb, ncb=ncb, npad=npad)
     tkey = (npad, mat.k, mat.wr, ncb)
     _tune_load()
     tune = _ROUND_TUNE.get(tkey, {})
     wr_g = tune.get("wr_g", min(128, max(32, 2 * (mat.wr or 16))))
     wr_c1 = tune.get("wr_c1", min(192, 2 * wr_g))
-    stat = _fused_stat(cfg)
     wc = wr_c1 * 128
     nsrc_c1 = ((ncb + 2 * wc + 127) // 128) * 128
     wr_g2 = tune.get("wr_g2", min(192, 2 * wr_g))
     _warm_fused_round(mat, stat, wr_g, ncb, wr_c1, nsrc_c1, wr_g2)
+    single_kw = dict(**stat, wr_g=wr_g, ncb=ncb, wr_c1=wr_c1,
+                     nsrc_c1=nsrc_c1, wr_g2=wr_g2)
+    if _use_single_round():
+        pool.warm(_round_program, pool.abstract_of(mat), **single_kw)
+        if pool.ready(_round_program, mat, **single_kw):
+            (labels1, labels_r, c1c, c1v, c1r, c1t, _b1,
+             c2c, c2v, c2r, c2t, _b2, packed) = pool.call(
+                _round_program, mat, **single_kw)
+            return dict(labels1=labels1, labels_r=labels_r, labels2=None,
+                        c1c=c1c, c1v=c1v, c1r=c1r, c1t=c1t,
+                        c2c=c2c, c2v=c2v, c2r=c2r, c2t=c2t,
+                        packed=packed, tkey=tkey, tune=tune,
+                        planfree=False, ntf=ntf, ntb=ntb, ncb=ncb,
+                        npad=npad)
     paired1, labels1, packed1, si, zerors = pool.call(
         _match_pass, mat, first_pass=True, **stat)
     c1c, c1v, c1r, base_c1, packed2, c1t = pool.call(
@@ -226,7 +336,7 @@ def _dispatch_fused_round(mat: ELL, cfg: AggregationConfig) -> dict:
     return dict(labels1=labels1, labels2=labels2,
                 c1c=c1c, c1v=c1v, c1r=c1r, c1t=c1t,
                 c2c=c2c, c2v=c2v, c2r=c2r, c2t=c2t,
-                packed=packed, tkey=tkey, tune=tune,
+                packed=packed, tkey=tkey, tune=tune, planfree=False,
                 ntf=ntf, ntb=ntb, ncb=ncb, npad=npad)
 
 
@@ -293,6 +403,19 @@ def _ladder_save() -> None:
         pass
 
 
+def _ladder_tail_batches(ladder) -> list:
+    """Tail records as a list of per-tail-entry batches.  Deep
+    hierarchies can enter the tail more than once (under-speculation
+    re-entry); each entry replays its OWN recorded batch.  Ladders saved
+    before this fix stored a single flat list — treat it as one batch."""
+    if not ladder:
+        return []
+    tail = ladder.get("tail") or []
+    if tail and isinstance(tail[0], dict):
+        return [tail]
+    return tail
+
+
 def _ladder_key(a: ELL, cfg: HierarchyConfig) -> str:
     import dataclasses, hashlib, json
     sig = json.dumps([sorted(dataclasses.asdict(cfg.aggregation).items(),
@@ -300,7 +423,16 @@ def _ladder_key(a: ELL, cfg: HierarchyConfig) -> str:
                       cfg.max_coarse_size, cfg.max_levels, cfg.smooth_p],
                      default=str)
     h = hashlib.md5(sig.encode()).hexdigest()[:12]
-    return json.dumps([a.npad, a.k, a.wr, a.vals_t is not None, h])
+    # sharded runs replay their own records: include the shard geometry
+    # (device count, rows/shard, halo width) in the key
+    if a.shard is not None:
+        shard_sig = [int(a.shard[0].devices.size), int(a.shard[2]),
+                     int(a.shard[3])]
+    else:
+        ds = getattr(getattr(a.cols, "sharding", None), "device_set", ())
+        shard_sig = [len(ds)] if len(ds) > 1 else None
+    return json.dumps([a.npad, a.k, a.wr, a.vals_t is not None, shard_sig,
+                       h])
 
 
 def _ell_from_rec(cols, vals, rownnz, vt, rec: dict) -> ELL:
@@ -334,7 +466,8 @@ def _replay_round(mat: ELL, cfg: AggregationConfig, rec: dict):
         passes = [PassInfo(nc=rec["nc"], nnz=rec["nnz1"])]
     else:
         ell = _ell_from_rec(d["c2c"], d["c2v"], d["c2r"], d["c2t"], rec)
-        labels = compose_labels(d["labels1"], d["labels2"])
+        labels = (d["labels_r"] if d.get("labels_r") is not None
+                  else compose_labels(d["labels1"], d["labels2"]))
         passes = [PassInfo(nc=rec["nc1"], nnz=rec["nnz1"]),
                   PassInfo(nc=rec["nc"], nnz=rec["nnz2"])]
     return AggregationResult(labels=labels, nc=rec["nc"], coarse=ell,
@@ -342,8 +475,9 @@ def _replay_round(mat: ELL, cfg: AggregationConfig, rec: dict):
 
 
 def _validate_pending(pend) -> bool:
+    from ..parallel.multihost import host_read
     packed, ntf, ntb, rec = pend
-    f = _decode_packed(np.asarray(packed), ntf, ntb)
+    f = _decode_packed(host_read(packed), ntf, ntb)
     if not f["fits1"] or f["nc1"] <= 0:
         return False
     if rec["passes"] == 1:
@@ -351,7 +485,8 @@ def _validate_pending(pend) -> bool:
               and f["deg1"] <= rec["kc"])
         oc = f["oc1"]
     else:
-        ok = (f["plan_ok1"] and f["fits2"]
+        ok = ((f["plan_ok1"] or rec.get("planfree", False))
+              and f["fits2"]
               and f["nc1"] == rec["nc1"] and f["nc2"] == rec["nc"]
               and f["nnz1"] == rec["nnz1"] and f["nnz2"] == rec["nnz2"]
               and f["deg2"] <= rec["kc"])
@@ -455,6 +590,11 @@ def _warm_tail(dtype, has_vt: bool, cfg: AggregationConfig) -> None:
     # post-kslice pass-2 operators return to the tail shape, so pass 2
     # reuses pass 1's Galerkin program; only the matcher differs
     pool.warm(_match_pass, t_abs, first_pass=False, **stat)
+    # the single-program tail round (used once its compile lands)
+    if _use_single_round():
+        pool.warm(_round_program, t_abs, **stat, wr_g=_TAIL_WR,
+                  ncb=_TAIL_NPAD, wr_c1=_TAIL_WR, nsrc_c1=_TAIL_NSRC,
+                  wr_g2=_TAIL_WR, wr_c2=_TAIL_WR, tk=_TAIL_K)
 
 
 @partial(jax.jit, static_argnames=("kc_eff", "nc_pad"))
@@ -621,7 +761,10 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
                     vals_t=t)
         ntc = nc_pad // 1024
         plan_host = None
-        if plans_enabled():
+        multishard = getattr(getattr(c, "sharding", None), "device_set",
+                             None)
+        if plans_enabled() and (multishard is None
+                                or len(multishard) <= 1):
             plan = gp.plan_from_minmax(ocmin[:ntc], ocmax[:ntc], nc)
             if plan is not None:
                 import dataclasses
@@ -664,17 +807,23 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         d = _dispatch_fused_round(mat, cfg)
         npad, ntf, ntb, ncb = d["npad"], d["ntf"], d["ntb"], d["ncb"]
         tkey, tune = d["tkey"], d["tune"]
+        planfree = d.get("planfree", False)
         labels1, labels2 = d["labels1"], d["labels2"]
         c1c, c1v, c1r, c1t = d["c1c"], d["c1v"], d["c1r"], d["c1t"]
         c2c, c2v, c2r, c2t = d["c2c"], d["c2v"], d["c2r"], d["c2t"]
-        labels_r = compose_labels(labels1, labels2)
-        p = np.asarray(d["packed"])
+        labels_r = (d["labels_r"] if d.get("labels_r") is not None
+                    else compose_labels(labels1, labels2))
+        from ..parallel.multihost import host_read
+        p = host_read(d["packed"])
         f = _decode_packed(p, ntf, ntb)
         nc1, nnz1, deg1 = f["nc1"], f["nnz1"], f["deg1"]
         nc2, nnz2, deg2 = f["nc2"], f["nnz2"], f["deg2"]
-        fits1, plan_ok1, fits2 = f["fits1"], f["plan_ok1"], f["fits2"]
+        fits1, fits2 = f["fits1"], f["fits2"]
+        # plan-free rounds dispatch pass 2 without a coarse window plan,
+        # so there is no plan to be "ok" — the gate is vacuously true
+        plan_ok1 = f["plan_ok1"] or planfree
         oc1, oc2 = f["oc1"], f["oc2"]
-        if fits1 and plan_ok1 and fits2:
+        if not planfree and fits1 and plan_ok1 and fits2:
             _round_tune_update(tkey, (f["mm1"], ntf, npad),
                                (oc1, ntb, ncb), (f["mm3"], ntb, ncb))
         elif tune:
@@ -692,6 +841,7 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
             if rec_out is not None:
                 rec_out.append(dict(
                     passes=1, nc=nc1, kc=max(deg1, 1), nnz1=nnz1,
+                    planfree=planfree,
                     plan=plan1[0] if plan1 else None,
                     wr=plan1[1] if plan1 else None,
                     nsrc=plan1[2] if plan1 else None))
@@ -716,7 +866,7 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
         if rec_out is not None:
             rec_out.append(dict(
                 passes=2, nc=nc2, nc1=nc1, kc=max(deg2, 1),
-                nnz1=nnz1, nnz2=nnz2,
+                nnz1=nnz1, nnz2=nnz2, planfree=planfree,
                 plan=plan2[0] if plan2 else None,
                 wr=plan2[1] if plan2 else None,
                 nsrc=plan2[2] if plan2 else None))
@@ -810,42 +960,50 @@ def pairwise_aggregate(a: ELL, cfg: AggregationConfig,
 
 _TAIL_NPAD = 32768
 _TAIL_K = 32
+# slot-count ladder: operators whose degree exceeds 32 (e.g. wide coarse
+# stencils) take the tail at the next rung instead of skipping it
+# (VERDICT r4 #9); each rung has its own compiled program set, so only
+# the common 32 rung is pre-warmed
+_TAIL_KS = (32, 64)
 _TAIL_WR = 32
 _TAIL_W = _TAIL_WR * 128
 _TAIL_NSRC = _TAIL_NPAD + 2 * _TAIL_W
 
 
-@partial(jax.jit, static_argnames=("k_in",))
-def _tail_pad(cols, vals, rownnz, k_in: int, vt=None):
-    """Pad an entry operator to the tail shape (_TAIL_K, _TAIL_NPAD)."""
+@partial(jax.jit, static_argnames=("k_in", "tk"))
+def _tail_pad(cols, vals, rownnz, k_in: int, vt=None, tk: int = _TAIL_K):
+    """Pad an entry operator to the tail shape (tk, _TAIL_NPAD)."""
     k, npad = cols.shape
-    cols = jnp.pad(cols, ((0, _TAIL_K - k), (0, _TAIL_NPAD - npad)))
-    vals = jnp.pad(vals, ((0, _TAIL_K - k), (0, _TAIL_NPAD - npad)))
+    cols = jnp.pad(cols, ((0, tk - k), (0, _TAIL_NPAD - npad)))
+    vals = jnp.pad(vals, ((0, tk - k), (0, _TAIL_NPAD - npad)))
     rownnz = jnp.pad(rownnz, (0, _TAIL_NPAD - npad))
     if vt is not None:
-        vt = jnp.pad(vt, ((0, _TAIL_K - k), (0, _TAIL_NPAD - npad)))
+        vt = jnp.pad(vt, ((0, tk - k), (0, _TAIL_NPAD - npad)))
     return cols, vals, rownnz, vt
 
 
-@jax.jit
-def _tail_kslice(cols, vals, rownnz, vt=None):
-    """Trim a (2·_TAIL_K, _TAIL_NPAD) bound Galerkin result back to the
+@partial(jax.jit, static_argnames=("tk",))
+def _tail_kslice(cols, vals, rownnz, vt=None, tk: int = _TAIL_K):
+    """Trim a (2·tk, _TAIL_NPAD) bound Galerkin result back to the
     tail slot count (entries are slot-compacted, so this only drops rows
-    deeper than _TAIL_K — flagged via max_deg in the packed readback)."""
-    return (cols[:_TAIL_K], vals[:_TAIL_K],
-            jnp.minimum(rownnz, _TAIL_K).astype(jnp.int32),
-            vt[:_TAIL_K] if vt is not None else None)
+    deeper than tk — flagged via max_deg in the packed readback)."""
+    return (cols[:tk], vals[:tk],
+            jnp.minimum(rownnz, tk).astype(jnp.int32),
+            vt[:tk] if vt is not None else None)
 
 
 def _tail_enter(ell: ELL):
     """Normalise an operator to the tail shape, rebasing its window plan
-    to _TAIL_WR on host (tiny arrays).  None → not tail-eligible."""
+    to _TAIL_WR on host (tiny arrays).  The slot rung tk is the smallest
+    _TAIL_KS entry covering the operator's degree.  None → not
+    tail-eligible."""
     if (ell.base_blk is None or ell.wr is None or ell.wr > _TAIL_WR
-            or ell.npad > _TAIL_NPAD or ell.k > _TAIL_K
+            or ell.npad > _TAIL_NPAD or ell.k > _TAIL_KS[-1]
             or ell.shard is not None):
         return None
+    tk = next(t for t in _TAIL_KS if ell.k <= t)
     cols, vals, rownnz, vt = _tail_pad(ell.cols, ell.vals, ell.rownnz,
-                                       ell.k, ell.vals_t)
+                                       ell.k, ell.vals_t, tk=tk)
     base = np.zeros((_TAIL_NPAD // 1024,), np.int32)
     # a wr ≤ 32 window (≤ 2·32·128 wide, starting on its wb·128 grid) is
     # always covered by the _TAIL_WR window starting at the same point
@@ -868,18 +1026,42 @@ def _tail_dispatch(mat: ELL, cfg: AggregationConfig, max_rounds: int,
     host sync.  Returns (chain, packed) — per-round device handles and
     the single concatenated packed vector."""
     stat = _fused_stat(cfg)
+    tk = mat.k                    # tail slot rung (_tail_enter padded it)
     est = mat.nrows
     n_disp = 0
     chain = []            # per round: device handles
     packeds = []
     cur = mat
+    tail_kw = dict(**stat, wr_g=_TAIL_WR, ncb=_TAIL_NPAD, wr_c1=_TAIL_WR,
+                   nsrc_c1=_TAIL_NSRC, wr_g2=_TAIL_WR, wr_c2=_TAIL_WR,
+                   tk=tk)
+    use_single = _use_single_round()
+    if use_single:       # idempotent; first call kicks off the compile
+        pool.warm(_round_program, pool.abstract_of(mat), **tail_kw)
     while n_disp < max_rounds and (est > max_coarse_size or n_disp == 0):
+        if use_single and pool.ready(_round_program, cur, **tail_kw):
+            (labels1, labels_r, c1c, c1v, c1r, c1t, base1,
+             c2c, c2v, c2r, c2t, base2, packed) = pool.call(
+                _round_program, cur, **tail_kw)
+            c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=_TAIL_NPAD,
+                     ncols=_TAIL_NPAD, base_blk=base1, wr=_TAIL_WR,
+                     nsrc=_TAIL_NSRC, vals_t=c1t)
+            c2 = ELL(cols=c2c, vals=c2v, rownnz=c2r, nrows=_TAIL_NPAD,
+                     ncols=_TAIL_NPAD, base_blk=base2, wr=_TAIL_WR,
+                     nsrc=_TAIL_NSRC, vals_t=c2t)
+            chain.append(dict(labels1=labels1, labels_r=labels_r,
+                              c1=c1, c2=c2))
+            packeds.append(packed)     # concat of the same 4-part layout
+            cur = c2
+            est = max(int(est * 0.35), 1)
+            n_disp += 1
+            continue
         paired1, labels1, packed1, _, _ = pool.call(
             _match_pass, cur, first_pass=True, **stat)
         c1c, c1v, c1r, base1, packed2, c1t = pool.call(
             _galerkin_bound, cur, paired1, labels1,
             wr_m=_TAIL_WR, nc_bound=_TAIL_NPAD, wr_c=_TAIL_WR)
-        c1c, c1v, c1r, c1t = _tail_kslice(c1c, c1v, c1r, c1t)
+        c1c, c1v, c1r, c1t = _tail_kslice(c1c, c1v, c1r, c1t, tk=tk)
         c1 = ELL(cols=c1c, vals=c1v, rownnz=c1r, nrows=_TAIL_NPAD,
                  ncols=_TAIL_NPAD, base_blk=base1, wr=_TAIL_WR,
                  nsrc=_TAIL_NSRC, vals_t=c1t)
@@ -888,7 +1070,7 @@ def _tail_dispatch(mat: ELL, cfg: AggregationConfig, max_rounds: int,
         c2c, c2v, c2r, base2, packed4, c2t = pool.call(
             _galerkin_bound, c1, paired2, labels2,
             wr_m=_TAIL_WR, nc_bound=_TAIL_NPAD, wr_c=_TAIL_WR)
-        c2c, c2v, c2r, c2t = _tail_kslice(c2c, c2v, c2r, c2t)
+        c2c, c2v, c2r, c2t = _tail_kslice(c2c, c2v, c2r, c2t, tk=tk)
         c2 = ELL(cols=c2c, vals=c2v, rownnz=c2r, nrows=_TAIL_NPAD,
                  ncols=_TAIL_NPAD, base_blk=base2, wr=_TAIL_WR,
                  nsrc=_TAIL_NSRC, vals_t=c2t)
@@ -903,7 +1085,7 @@ def _tail_dispatch(mat: ELL, cfg: AggregationConfig, max_rounds: int,
 
 def _tail_decode(p: np.ndarray, n_rounds: int, nnz_in: int,
                  cfg: AggregationConfig, entry_nrows: int,
-                 max_coarse_size: int) -> list[dict]:
+                 max_coarse_size: int, tk: int = _TAIL_K) -> list[dict]:
     """Replay the tail acceptance logic on the packed readback.
     Returns one meta dict per ACCEPTED level:
     {round, passes, nc, nc1, nnz1, nnz2, oc}."""
@@ -925,13 +1107,13 @@ def _tail_decode(p: np.ndarray, n_rounds: int, nnz_in: int,
         nnz2, deg2, fits2, ok2 = (int(x) for x in p[o4:o4 + 4])
         oc1 = p[o2 + 4: o2 + 4 + 2 * nt]
         oc2 = p[o4 + 4: o4 + 4 + 2 * nt]
-        if not fits1 or not ok1 or deg1 > _TAIL_K or nc1 <= 0 \
+        if not fits1 or not ok1 or deg1 > tk or nc1 <= 0 \
                 or nc1 >= prev_n:
             break                       # invalid round: keep the prefix
         exit1 = (nnz1 <= nnz_in / cfg.tou
                  or (cfg.max_restriction and nc1 < cfg.max_restriction))
         if exit1 or cfg.npass == 1 or not fits2 or not ok2 \
-                or deg2 > _TAIL_K or nc2 <= 0 or nc2 >= prev_n:
+                or deg2 > tk or nc2 <= 0 or nc2 >= prev_n:
             # early exit, or pass 2 invalid with pass 1 a valid level
             out.append(dict(round=r, passes=1, nc=nc1, nc1=nc1,
                             nnz1=nnz1, nnz2=None, oc=oc1))
@@ -977,7 +1159,7 @@ def tail_rounds(mat: ELL, cfg: AggregationConfig, nnz_in: int,
     chain, packed = _tail_dispatch(mat, cfg, max_rounds, max_coarse_size)
     p = np.asarray(packed)              # THE tail readback
     metas = _tail_decode(p, len(chain), nnz_in, cfg, mat.nrows,
-                         max_coarse_size)
+                         max_coarse_size, tk=mat.k)
     out = []
     for m in metas:
         ch = chain[m["round"]]
@@ -1031,20 +1213,20 @@ def tail_replay(mat: ELL, cfg: AggregationConfig, recs: list,
                   [PassInfo(nc=rec["nc1"], nnz=rec["nnz1"]),
                    PassInfo(nc=rec["nc"], nnz=rec["nnz2"])])
         out.append((labels, rec["nc"], e, passes))
-    return out, ("tail", packed, len(chain), recs, mat.nrows)
+    return out, ("tail", packed, len(chain), recs, mat.nrows, mat.k)
 
 
 def _validate_tail(pend, nnz_in: int, cfg: AggregationConfig,
                    max_coarse_size: int) -> bool:
     """Check the streamed tail readback reproduces the recorded
     acceptance exactly (+ window coverage of the recorded plans)."""
-    _, packed, n_rounds, recs, entry_nrows = pend
+    _, packed, n_rounds, recs, entry_nrows, entry_k = pend
     from ..ops import gather_pallas as gp
     nt = _TAIL_NPAD // 1024
     try:
         p = np.asarray(packed)
         metas = _tail_decode(p, n_rounds, nnz_in, cfg, entry_nrows,
-                             max_coarse_size)
+                             max_coarse_size, tk=entry_k)
     except Exception:
         return False
     if len(metas) != len(recs):
@@ -1081,6 +1263,7 @@ class SetupResult:
     rounds: list[AggregationResult] = field(default_factory=list)
     p_ops: list[ELL] | None = None
     pt_ops: list[ELL] | None = None
+    smooth_omega: float | None = None   # cfg.smooth_p used to build p_ops
 
 
 def _tail_eligible(cfg: HierarchyConfig) -> bool:
@@ -1115,11 +1298,17 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
     ladder = None
     lkey = None
     recs: list = []
-    tail_recs: list = []
+    tail_recs: list = []          # list of per-tail-entry record batches
+    tail_entry_i = 0              # next replay batch (deep hierarchies may
+                                  # enter the tail more than once)
+    replayed = False              # any ladder replay happened this run —
+                                  # recs then lacks the replayed prefix, so
+                                  # the end-of-run save must be skipped
     pendings: list = []
     nnz0_dev = None
-    if (tail_ok and a.shard is None and a.npad > _TAIL_NPAD
-            and cfg.smooth_p is None):
+    # the ladder also serves sharded setups (plan-free fused rounds); the
+    # shard geometry is part of the key, so records never cross meshes
+    if (tail_ok and a.npad > _TAIL_NPAD and cfg.smooth_p is None):
         _ladder_load()
         lkey = _ladder_key(a, cfg)
         if _use_ladder:
@@ -1140,14 +1329,17 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
                 nnz_in = cur_nnz if cur_nnz is not None else cur.nnz
                 budget = min(cfg.max_levels - len(mats), 8)
                 got = None
-                if ladder and ladder.get("tail"):
+                tail_batches = _ladder_tail_batches(ladder)
+                if ladder and tail_entry_i < len(tail_batches):
                     with _timer.phase("aggregation.tail"):
                         rep = tail_replay(tmat, cfg.aggregation,
-                                          ladder["tail"], budget,
-                                          cfg.max_coarse_size)
+                                          tail_batches[tail_entry_i],
+                                          budget, cfg.max_coarse_size)
                     if rep is not None:
                         got, pend = rep
                         pendings.append(pend + (nnz_in,))
+                        replayed = True
+                        tail_entry_i += 1
                     else:
                         if not _ladder_validate(pendings, nnz0_dev,
                                                 ladder, cfg):
@@ -1162,7 +1354,7 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
                                           budget, cfg.max_coarse_size,
                                           rec_out=recs_tail)
                     if recs_tail:
-                        tail_recs = recs_tail
+                        tail_recs.append(recs_tail)
                 if got:
                     for (lab, nc, ell_l, ps) in got:
                         labels.append(lab)
@@ -1180,6 +1372,7 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
             with _timer.phase("aggregation.round"):
                 res, pend = _replay_round(cur, cfg.aggregation, rec)
             pendings.append(pend)
+            replayed = True
         else:
             if ladder:
                 # ladder ran out mid-hierarchy (or an unreplayable
@@ -1213,27 +1406,40 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
     if pendings:
         if not _ladder_validate(pendings, nnz0_dev, ladder, cfg):
             return build_amg_setup(a, cfg, timer=timer, _use_ladder=False)
-    elif (lkey is not None and recs
-          and all(r is not None for r in recs)):
-        # clean blocking run: record the ladder for future replays
-        _LADDER[lkey] = {"nnz0": int(np.asarray(jnp.sum(a.rownnz))),
+    if (not replayed and lkey is not None and recs
+            and all(r is not None for r in recs)):
+        # clean blocking run (no replayed prefix missing from recs):
+        # record the ladder for future replays
+        from ..parallel.multihost import host_read
+        _LADDER[lkey] = {"nnz0": int(host_read(jnp.sum(a.rownnz))),
                          "rounds": recs, "tail": tail_recs}
         _ladder_save()
     smoothed = cfg.smooth_p is not None
     return SetupResult(matrices=mats, level_labels=labels, rounds=rounds,
                        p_ops=p_ops if smoothed else None,
-                       pt_ops=pt_ops if smoothed else None)
+                       pt_ops=pt_ops if smoothed else None,
+                       smooth_omega=float(cfg.smooth_p) if smoothed
+                       else None)
 
 
 def can_fuse_shape(mat: ELL, cfg: AggregationConfig) -> bool:
     """Shape/config half of can_fuse_round (module-level; the replay
-    needs it outside pairwise_aggregate)."""
+    needs it outside pairwise_aggregate).
+
+    Sharded operators (halo-planned or multi-device stripped) are fused
+    via the PLAN-FREE round — XLA gathers GSPMD partitions, one packed
+    readback per round (VERDICT r4 #3 lifted the old ``shard is None``
+    gate).  Single-chip plan-less operators keep the per-pass path (the
+    fused round's bound-shaped dispatch only pays off with plans)."""
     import os
     from ..sparse.formats import plans_enabled
+    multidev = (mat.shard is not None
+                or len(getattr(getattr(mat.cols, "sharding", None),
+                               "device_set", ())) > 1)
     return (cfg.matching == "mutual" and cfg.npass <= 2
             and not cfg.check_tentagg and cfg.skipass_frac == 0.0
-            and mat.npad % 1024 == 0 and mat.shard is None
-            and plans_enabled()
+            and mat.npad % 1024 == 0
+            and (multidev or (mat.shard is None and plans_enabled()))
             and os.environ.get("MGS_NO_FUSED_SETUP") != "1")
 
 
@@ -1241,14 +1447,15 @@ def _ladder_validate(pendings, nnz0_dev, ladder,
                      cfg: HierarchyConfig) -> bool:
     """Block on the streamed packed readbacks and check every replayed
     round's scalars against its record."""
+    from ..parallel.multihost import host_read
     try:
         if nnz0_dev is not None and ladder and \
                 ladder.get("nnz0") is not None:
-            if int(np.asarray(nnz0_dev)) != ladder["nnz0"]:
+            if int(host_read(nnz0_dev)) != ladder["nnz0"]:
                 return False
         for p in pendings:
             if isinstance(p[0], str) and p[0] == "tail":
-                if not _validate_tail(p[:5], p[5], cfg.aggregation,
+                if not _validate_tail(p[:6], p[6], cfg.aggregation,
                                       cfg.max_coarse_size):
                     return False
             elif not _validate_pending(p):
@@ -1283,10 +1490,6 @@ def refresh_setup(prev: SetupResult, a: ELL,
     """
     import dataclasses
     from .galerkin import galerkin_ell
-    if prev.p_ops is not None:
-        raise NotImplementedError(
-            "refresh of smoothed-aggregation setups needs the smoothing "
-            "re-applied; run build_amg_setup instead")
     prev_fine = prev.matrices[0]
     if (a.cols.shape != prev_fine.cols.shape
             or (a.nrows, a.ncols) != (prev_fine.nrows, prev_fine.ncols)):
@@ -1297,6 +1500,29 @@ def refresh_setup(prev: SetupResult, a: ELL,
     # keep the previous pattern + plans; take the new values
     cur = dataclasses.replace(prev_fine, vals=a.vals)
     mats = [cur]
+    if prev.p_ops is not None:
+        # smoothed setup: P = (I − ω D⁻¹ A) P₀ depends on A's VALUES, so
+        # re-apply the smoothing to the reused labels per level (the
+        # aggregation itself — the expensive part — is still skipped)
+        from .smoothed import smoothed_prolongation, galerkin_general
+        omega = prev.smooth_omega if prev.smooth_omega is not None \
+            else 2.0 / 3.0
+        p_ops, pt_ops = [], []
+        for l, labels in enumerate(prev.level_labels):
+            nc_true = prev.matrices[l + 1].nrows
+            with (timer.phase(f"refresh.smooth{l+1}") if timer
+                  else _nullcontext()):
+                ps = smoothed_prolongation(
+                    cur, jnp.asarray(labels, jnp.int32), nc_true,
+                    omega=omega)
+                coarse, pt = galerkin_general(cur, ps)
+            p_ops.append(ps)
+            pt_ops.append(pt)
+            mats.append(coarse)
+            cur = coarse
+        return SetupResult(matrices=mats, level_labels=prev.level_labels,
+                           rounds=prev.rounds, p_ops=p_ops, pt_ops=pt_ops,
+                           smooth_omega=omega)
     for l, labels in enumerate(prev.level_labels):
         nc_true = prev.matrices[l + 1].nrows
         with (timer.phase(f"refresh.galerkin{l+1}") if timer
