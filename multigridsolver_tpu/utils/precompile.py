@@ -111,6 +111,18 @@ def warm(fn, *args, **statics) -> None:
     e.thread.start()
 
 
+def ready(fn, *args, **statics) -> bool:
+    """Non-blocking: has ``warm`` finished compiling this signature?
+    Lets a driver switch to a bigger fused program only once its compile
+    has landed, instead of stalling on it."""
+    key = _key(fn, args, statics)
+    with _lock:
+        e = _entries.get(key)
+    return (e is not None and e.thread is not None
+            and not e.thread.is_alive() and e.err is None
+            and e.compiled is not None)
+
+
 def call(fn, *args, **statics):
     """Invoke ``fn`` through the pool: AOT executable when warmed,
     plain jitted call otherwise."""
