@@ -246,6 +246,16 @@ def _tune_save() -> None:
         pass
 
 
+# single-round warms deferred to end-of-setup (see _dispatch_fused_round)
+_PENDING_SINGLE_WARMS: list = []
+
+
+def _flush_single_warms() -> None:
+    while _PENDING_SINGLE_WARMS:
+        mat_abs, kw = _PENDING_SINGLE_WARMS.pop()
+        pool.warm(_round_program, mat_abs, **kw)
+
+
 def _use_single_round() -> bool:
     """Single-program fused rounds are a real-backend optimisation: the
     pool's compiled-under-INTERPRET executables must never leak across
@@ -309,7 +319,16 @@ def _dispatch_fused_round(mat: ELL, cfg: AggregationConfig) -> dict:
     single_kw = dict(**stat, wr_g=wr_g, ncb=ncb, wr_c1=wr_c1,
                      nsrc_c1=nsrc_c1, wr_g2=wr_g2)
     if _use_single_round():
-        pool.warm(_round_program, pool.abstract_of(mat), **single_kw)
+        # defer the (large) single-program warm to the END of the setup
+        # (_flush_single_warms): on a cold start its compile must not
+        # steal pool slots from the 4 split programs the CURRENT round
+        # is about to join on.  Repeat setups then find it ready.  Only
+        # tuned widths are worth the giant compile — the conservative
+        # first-encounter widths are superseded by the round's own
+        # readback (_round_tune_update) before any repeat.
+        if tune:
+            _PENDING_SINGLE_WARMS.append((pool.abstract_of(mat),
+                                          single_kw))
         if pool.ready(_round_program, mat, **single_kw):
             (labels1, labels_r, c1c, c1v, c1r, c1t, _b1,
              c2c, c2v, c2r, c2t, _b2, packed) = pool.call(
@@ -1414,6 +1433,7 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
         _LADDER[lkey] = {"nnz0": int(host_read(jnp.sum(a.rownnz))),
                          "rounds": recs, "tail": tail_recs}
         _ladder_save()
+    _flush_single_warms()     # compile single-round programs for repeats
     smoothed = cfg.smooth_p is not None
     return SetupResult(matrices=mats, level_labels=labels, rounds=rounds,
                        p_ops=p_ops if smoothed else None,

@@ -106,7 +106,14 @@ def run(name, a, ell, symmetric, rs):
 def main():
     which = set(sys.argv[1:]) or {"small", "p1000", "sky80"}
     rs = np.random.RandomState(0)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "quality_sweep_results.json")
     results = {}
+    try:                      # merge over prior partial runs
+        with open(path) as f:
+            results = json.load(f)
+    except (OSError, ValueError):
+        pass
     if "small" in which:
         from multigridsolver_tpu.io import read_mtx
         from multigridsolver_tpu.cli.generators import csky3d
@@ -132,8 +139,6 @@ def main():
         results["csky3d80"] = run(
             "csky3d80", a, a.to_ell(dtype=jnp.float32,
                                     with_transpose=True), False, rs)
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "quality_sweep_results.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))

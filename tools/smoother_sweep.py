@@ -56,6 +56,9 @@ SMOOTHERS = [
 
 
 def sweep(name, a, ell, cfg, rs, refined=False):
+    only = os.environ.get("MGS_SWEEP_SMOOTHERS")   # e.g. "cheb2,ilu0"
+    smoothers = [s for s in SMOOTHERS
+                 if only is None or s[0] in only.split(",")]
     print(f"=== {name}: n={a.nrows} nnz={a.nnz} ===", flush=True)
     t0 = time.perf_counter()
     setup = build_amg_setup(ell, cfg)
@@ -64,7 +67,7 @@ def sweep(name, a, ell, cfg, rs, refined=False):
           f"levels={[m.nrows for m in setup.matrices]}", flush=True)
     b = rs.rand(a.nrows)
     out = {}
-    for label, kw in SMOOTHERS:
+    for label, kw in smoothers:
         try:
             t0 = time.perf_counter()
             hier = build_hierarchy(setup.matrices[0], setup.level_labels,
@@ -103,21 +106,32 @@ def sweep(name, a, ell, cfg, rs, refined=False):
 def main():
     which = set(sys.argv[1:]) or {"p1000", "p2000", "sky80"}
     rs = np.random.RandomState(0)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "smoother_sweep_results.json")
     cfg = HierarchyConfig(
         max_coarse_size=512,
         aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0,
                                       symmetric=True))
     results = {}
+    try:                      # merge over prior partial runs
+        with open(path) as f:
+            results = json.load(f)
+    except (OSError, ValueError):
+        pass
     if "p1000" in which:
         a = poisson(1000)
-        results["poisson1000"] = sweep(
-            "poisson1000", a, a.to_ell(dtype=jnp.float32), cfg, rs)
+        results["poisson1000"] = {
+            **results.get("poisson1000", {}),
+            **sweep("poisson1000", a, a.to_ell(dtype=jnp.float32), cfg,
+                    rs)}
         results["poisson1000"]["reference"] = dict(
             solve_s=2.956, iters=6, note="results.txt:93-95, L4-P + ILUT")
     if "p2000" in which:
         a = poisson(2000)
-        results["poisson2000"] = sweep(
-            "poisson2000", a, a.to_ell(dtype=jnp.float32), cfg, rs)
+        results["poisson2000"] = {
+            **results.get("poisson2000", {}),
+            **sweep("poisson2000", a, a.to_ell(dtype=jnp.float32), cfg,
+                    rs)}
         results["poisson2000"]["reference"] = dict(
             solve_s=15.81, iters=6, note="results.txt:135-144")
     if "sky80" in which:
@@ -126,15 +140,14 @@ def main():
         cfg_ns = HierarchyConfig(
             max_coarse_size=512,
             aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0))
-        results["csky3d80"] = sweep(
-            "csky3d80", a, a.to_ell(dtype=jnp.float32,
-                                    with_transpose=True),
-            cfg_ns, rs, refined=True)
+        results["csky3d80"] = {
+            **results.get("csky3d80", {}),
+            **sweep("csky3d80", a,
+                    a.to_ell(dtype=jnp.float32, with_transpose=True),
+                    cfg_ns, rs, refined=True)}
         results["csky3d80"]["reference"] = dict(
             solve_s=7.705, iters=6, note="results.txt:119-121 (1e-6; "
             "ours refined to 1e-8)")
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "smoother_sweep_results.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
