@@ -248,12 +248,16 @@ def _tune_save() -> None:
 
 # single-round warms deferred to end-of-setup (see _dispatch_fused_round)
 _PENDING_SINGLE_WARMS: list = []
+_PENDING_CHAIN_WARMS: list = []
 
 
 def _flush_single_warms() -> None:
     while _PENDING_SINGLE_WARMS:
         mat_abs, kw = _PENDING_SINGLE_WARMS.pop()
         pool.warm(_round_program, mat_abs, **kw)
+    while _PENDING_CHAIN_WARMS:
+        a_abs, b_abs, stat_t, spec = _PENDING_CHAIN_WARMS.pop()
+        pool.warm(_chain_program, a_abs, b_abs, stat_t=stat_t, spec=spec)
 
 
 def _use_single_round() -> bool:
@@ -474,7 +478,7 @@ def _ell_from_rec(cols, vals, rownnz, vt, rec: dict) -> ELL:
 def _replay_round(mat: ELL, cfg: AggregationConfig, rec: dict):
     """Dispatch one recorded fused round without any host sync."""
     d = _dispatch_fused_round(mat, cfg)
-    pend = (d["packed"], d["ntf"], d["ntb"], rec)
+    pend = (d["packed"], d["ntf"], d["ntb"], rec, d["tkey"])
     try:
         d["packed"].copy_to_host_async()
     except Exception:
@@ -493,10 +497,152 @@ def _replay_round(mat: ELL, cfg: AggregationConfig, rec: dict):
                              passes=passes), pend
 
 
+def _chain_spec(a: ELL, cfg: AggregationConfig, recs: list):
+    """Static spec for ``_chain_program`` over the maximal replayable
+    prefix of the ladder's plan-level records.
+
+    Per round: (npad, wr_g, ncb, wr_c1, nsrc_c1, wr_g2, passes, kc,
+    nc_pad, nc_true, has_plan, plan_wr, plan_nsrc).  The chain needs the
+    tuned widths of EVERY intermediate shape (first-encounter
+    conservative widths would make the giant program a throwaway
+    compile) and the recorded window plan of every non-final level (the
+    next round's gathers ride it).  Returns (spec, bases) or None when
+    fewer than 2 rounds chain."""
+    if a.base_blk is None or a.wr is None:
+        return None
+    specs: list = []
+    bases: list = []
+    npad, k, wr = a.npad, a.k, a.wr
+    for rec in recs:
+        if rec is None or not isinstance(rec, dict) or npad % 1024:
+            break
+        ncb = min(npad, ((int(0.625 * npad) + 1023) // 1024) * 1024)
+        tune = _ROUND_TUNE.get((npad, k, wr, ncb))
+        if not tune:
+            break
+        wr_c1 = tune["wr_c1"]
+        wc = wr_c1 * 128
+        nsrc_c1 = ((ncb + 2 * wc + 127) // 128) * 128
+        nc_pad = max(((int(rec["nc"]) + 1023) // 1024) * 1024, 1024)
+        has_plan = rec.get("plan") is not None
+        kc = int(max(rec["kc"], 1))
+        specs.append((npad, tune["wr_g"], ncb, wr_c1, nsrc_c1,
+                      tune["wr_g2"], int(rec["passes"]), kc, nc_pad,
+                      int(rec["nc"]), has_plan,
+                      int(rec["wr"] or 0) if has_plan else 0,
+                      int(rec["nsrc"] or 0) if has_plan else 0))
+        bases.append(np.asarray(rec["plan"], np.int32) if has_plan
+                     else np.zeros((1,), np.int32))
+        if not has_plan:
+            break          # next round would dispatch plan-less: stop here
+        npad, k, wr = nc_pad, kc, int(rec["wr"])
+    if not specs:
+        return None
+    return tuple(specs), bases
+
+
+@partial(jax.jit, static_argnames=("stat_t", "spec"))
+def _chain_program(mat: ELL, bases, stat_t, spec):
+    """EVERY recorded plan-level round of a warm setup as ONE XLA
+    program: fused round → static slice to the recorded level shape →
+    next round, for the whole ladder prefix.
+
+    The per-round replay already had zero blocking readbacks, but each
+    round still cost 2 program dispatches (round + slice) and the
+    tunnel charges ~25-30 ms of launch latency per program — measured
+    ~90 % of the whole warm csky3d(80) setup (device compute for ALL
+    rounds is ~50 ms; wall was 0.29 s over ~10 dispatches).  Chaining is
+    only possible on replay, where the ladder record supplies every
+    intermediate shape statically.  Compiled in the background
+    (deferred warm, like the single-round programs) and dispatched only
+    when `pool.ready`."""
+    stat = dict(stat_t)
+    cur = mat
+    labels_out = []
+    levels_out = []
+    packeds = []
+    for i, (npad_i, wr_g, ncb, wr_c1, nsrc_c1, wr_g2, passes, kc,
+            nc_pad, nc_true, has_plan, pwr, pnsrc) in enumerate(spec):
+        out = _round_program(cur, **stat, wr_g=wr_g, ncb=ncb,
+                             wr_c1=wr_c1, nsrc_c1=nsrc_c1, wr_g2=wr_g2)
+        (labels1, labels_r, c1c, c1v, c1r, c1t, _b1,
+         c2c, c2v, c2r, c2t, _b2, packed) = out
+        if passes == 1:
+            lab, cc, vv, rn, vt = labels1, c1c, c1v, c1r, c1t
+        else:
+            lab, cc, vv, rn, vt = labels_r, c2c, c2v, c2r, c2t
+        sc, sv, srn, svt = _slice_coarse(cc, vv, rn, kc, nc_pad, vt)
+        labels_out.append(lab)
+        levels_out.append((sc, sv, srn, svt))
+        packeds.append(packed)
+        if i + 1 < len(spec):
+            cur = ELL(cols=sc, vals=sv, rownnz=srn, nrows=nc_true,
+                      ncols=nc_true,
+                      base_blk=bases[i] if has_plan else None,
+                      wr=pwr if has_plan else None,
+                      nsrc=pnsrc if has_plan else None, vals_t=svt)
+    return tuple(labels_out), tuple(levels_out), _concat_packed(*packeds)
+
+
+def _replay_chain(a: ELL, cfg: AggregationConfig, recs: list):
+    """Replay the recorded plan-round prefix in ONE dispatch.  Returns
+    (list[AggregationResult], pend) or None (not warmed / no spec)."""
+    import dataclasses
+    sb = _chain_spec(a, cfg, recs)
+    if sb is None:
+        return None
+    spec, bases = sb
+    stat_t = tuple(sorted(_fused_stat(cfg).items()))
+    if not pool.ready(_chain_program, a, bases, stat_t=stat_t,
+                      spec=spec):
+        return None
+    labels_t, levels_t, packed = pool.call(_chain_program, a, bases,
+                                           stat_t=stat_t, spec=spec)
+    try:
+        packed.copy_to_host_async()
+    except Exception:
+        pass
+    results = []
+    metas = []
+    off = 0
+    for i, sp in enumerate(spec):
+        (npad_i, _wr_g, ncb, _wr_c1, _nsrc_c1, _wr_g2, passes, _kc,
+         _nc_pad, nc_true, has_plan, pwr, pnsrc) = sp
+        rec = recs[i]
+        sc, sv, srn, svt = levels_t[i]
+        ell = ELL(cols=sc, vals=sv, rownnz=srn, nrows=nc_true,
+                  ncols=nc_true, vals_t=svt)
+        if has_plan:
+            hb = np.asarray(rec["plan"], np.int32)
+            ell = dataclasses.replace(ell, base_blk=jnp.asarray(hb),
+                                      wr=pwr, nsrc=pnsrc)
+            ell._host_base = hb
+        if passes == 1:
+            ps = [PassInfo(nc=rec["nc"], nnz=rec["nnz1"])]
+        else:
+            ps = [PassInfo(nc=rec["nc1"], nnz=rec["nnz1"]),
+                  PassInfo(nc=rec["nc"], nnz=rec["nnz2"])]
+        results.append(AggregationResult(labels=labels_t[i],
+                                         nc=rec["nc"], coarse=ell,
+                                         passes=ps))
+        ntf, ntb = npad_i // 1024, ncb // 1024
+        metas.append((off, ntf, ntb, rec))
+        off += 10 + 2 * ntf + 6 * ntb
+    return results, ("chain", packed, metas)
+
+
 def _validate_pending(pend) -> bool:
     from ..parallel.multihost import host_read
-    packed, ntf, ntb, rec = pend
+    packed, ntf, ntb, rec = pend[:4]
+    tkey = pend[4] if len(pend) > 4 else None
     f = _decode_packed(host_read(packed), ntf, ntb)
+    if (tkey is not None and tkey not in _ROUND_TUNE
+            and f["fits1"] and f["plan_ok1"] and f["fits2"]):
+        # heal a popped/missing tune from the replay's own readback so
+        # warm runs regain the single-round program without a cold pass
+        _round_tune_update(tkey, (f["mm1"], ntf, ntf * 1024),
+                           (f["oc1"], ntb, ntb * 1024),
+                           (f["mm3"], ntb, ntb * 1024))
     if not f["fits1"] or f["nc1"] <= 0:
         return False
     if rec["passes"] == 1:
@@ -528,13 +674,27 @@ def _round_tune_update(tkey, mm_fine, oc_coarse, mm_coarse) -> None:
     from ..ops import gather_pallas as gp
 
     def tight(mm, nt, ncols):
-        plan = gp.plan_from_minmax(np.asarray(mm[:nt]),
-                                   np.asarray(mm[nt: 2 * nt]), ncols)
-        if plan is None:
+        """Smallest rung that FITS UNDER ITS OWN BASE GRANULARITY, plus
+        one fitting rung of margin.  A bigger wr can cover WORSE than a
+        smaller one when its wb is coarser (the dispatch round sees the
+        base floor-rounded to wb·128): wr 48 / wb 16 covers 12288−2047 =
+        10241 lanes worst-case, wr 64 / wb 64 only 16384−8191 = 8193.
+        Naively stepping plan_from_minmax's rung up therefore produced
+        tunes whose fits-check failed on the very next run, popping the
+        entry — the finest csky3d(80) round alternated between misfit
+        fallback and re-tune forever, never keeping its single-round
+        program.  Test each rung with the exact base arithmetic the
+        dispatch uses (deterministic per matrix, so a fitting rung here
+        fits on every repeat)."""
+        mn = np.asarray(mm[:nt]).astype(np.int64)
+        mx = np.asarray(mm[nt: 2 * nt]).astype(np.int64)
+        fits = [w for w in gp._WRS
+                if np.all(mx < (mn // (gp._wb(w) * 128)) * (gp._wb(w)
+                                                            * 128)
+                          + 2 * w * 128)]
+        if not fits:
             return None
-        wr = plan[1]
-        bigger = [w for w in gp._WRS if w > wr]
-        return bigger[0] if bigger else wr
+        return fits[1] if len(fits) > 1 else fits[0]
 
     mm1, ntf, npad = mm_fine
     oc1, ntb, ncb = oc_coarse
@@ -1339,6 +1499,21 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
             except Exception:
                 pass
     _timer = timer or PhaseTimer(enabled=False)
+    if ladder and _use_single_round():
+        # one-dispatch replay of the whole plan-round prefix (compiled
+        # in the background on earlier runs; per-round replay below
+        # covers the miss and any rounds past the chain)
+        with _timer.phase("aggregation.chain"):
+            ch = _replay_chain(a, cfg.aggregation, ladder["rounds"])
+        if ch is not None:
+            for res in ch[0]:
+                labels.append(res.labels)
+                mats.append(res.coarse)
+                rounds.append(res)
+            cur = ch[0][-1].coarse
+            cur_nnz = ch[0][-1].passes[-1].nnz
+            pendings.append(ch[1])
+            replayed = True
     for _ in range(cfg.max_levels - 1):
         if cur.nrows <= cfg.max_coarse_size:
             break
@@ -1433,6 +1608,17 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
         _LADDER[lkey] = {"nnz0": int(host_read(jnp.sum(a.rownnz))),
                          "rounds": recs, "tail": tail_recs}
         _ladder_save()
+    if lkey is not None and _use_single_round():
+        lad = _LADDER.get(lkey)
+        if lad:
+            sb = _chain_spec(a, cfg.aggregation, lad["rounds"])
+            if sb is not None:
+                spec, chb = sb
+                stat_t = tuple(sorted(
+                    _fused_stat(cfg.aggregation).items()))
+                _PENDING_CHAIN_WARMS.append(
+                    (pool.abstract_of(a), pool.abstract_of(chb),
+                     stat_t, spec))
     _flush_single_warms()     # compile single-round programs for repeats
     smoothed = cfg.smooth_p is not None
     return SetupResult(matrices=mats, level_labels=labels, rounds=rounds,
@@ -1466,19 +1652,47 @@ def can_fuse_shape(mat: ELL, cfg: AggregationConfig) -> bool:
 def _ladder_validate(pendings, nnz0_dev, ladder,
                      cfg: HierarchyConfig) -> bool:
     """Block on the streamed packed readbacks and check every replayed
-    round's scalars against its record."""
+    round's scalars against its record.
+
+    ALL pendings are fetched in ONE readback (a device concat + a
+    single host_read): each separate np.asarray through the tunnel
+    costs a ~30 ms roundtrip, and a 4-round + tail warm setup used to
+    pay 5-6 of them — measured the dominant share of the replayed
+    csky3d(80) setup wall once the dispatches themselves were fused."""
     from ..parallel.multihost import host_read
     try:
-        if nnz0_dev is not None and ladder and \
-                ladder.get("nnz0") is not None:
-            if int(host_read(nnz0_dev)) != ladder["nnz0"]:
-                return False
+        want_nnz0 = (nnz0_dev is not None and ladder
+                     and ladder.get("nnz0") is not None)
+        devs = ([jnp.reshape(nnz0_dev, (1,)).astype(jnp.int32)]
+                if want_nnz0 else [])
+        metas = []
+        off = 1 if want_nnz0 else 0
         for p in pendings:
+            arr = jnp.asarray(p[1] if isinstance(p[0], str) else p[0])
+            n = int(arr.shape[0])
+            devs.append(arr if arr.dtype == jnp.int32
+                        else arr.astype(jnp.int32))
+            metas.append((p, off, n))
+            off += n
+        if not devs:
+            return True
+        whole = host_read(_concat_packed(*devs) if len(devs) > 1
+                          else devs[0])
+        if want_nnz0 and int(whole[0]) != ladder["nnz0"]:
+            return False
+        for p, o, n in metas:
+            seg = whole[o: o + n]
             if isinstance(p[0], str) and p[0] == "tail":
-                if not _validate_tail(p[:6], p[6], cfg.aggregation,
+                if not _validate_tail((p[0], seg) + p[2:6], p[6],
+                                      cfg.aggregation,
                                       cfg.max_coarse_size):
                     return False
-            elif not _validate_pending(p):
+            elif isinstance(p[0], str) and p[0] == "chain":
+                for coff, ntf, ntb, rec in p[2]:
+                    sub = seg[coff: coff + 10 + 2 * ntf + 6 * ntb]
+                    if not _validate_pending((sub, ntf, ntb, rec)):
+                        return False
+            elif not _validate_pending((seg,) + tuple(p[1:])):
                 return False
         return True
     except Exception:

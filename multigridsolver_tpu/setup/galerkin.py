@@ -258,46 +258,29 @@ def galerkin_pair_arrays(a: ELL, paired: jnp.ndarray, labels: jnp.ndarray,
         acc = acc + keep_rows[s].astype(jnp.int32)
         pos_rows[s] = acc - 1
     rownnz = acc
-    # compact kept entries to the top slots per column.  A lane-axis
-    # scatter (.at[pos, ci].add) is pathological on TPU — measured 228 ms
-    # runtime + 11 s compile at (10, 10⁶); instead select per OUTPUT slot
-    # with fused row-wise compares (pos[s] ≤ s, so only slots s ≥ j can
-    # land at output j — m2²/2 (n,)-vector selects, no 3D buffer).
-    if m2 <= 24:
-        out_c_rows, out_v_rows, out_t_rows = [], [], []
-        for j in range(m2):
-            cj = jnp.zeros_like(c_rows[0])
-            vj = jnp.zeros_like(merged_v[0])
-            tj = jnp.zeros_like(merged_v[0]) if union else None
-            for s in range(j, m2):
-                hit = keep_rows[s] & (pos_rows[s] == j)
-                cj = jnp.where(hit, c_rows[s], cj)
-                vj = jnp.where(hit, merged_v[s], vj)
-                if union:
-                    tj = jnp.where(hit, merged_t[s], tj)
-            out_c_rows.append(cj)
-            out_v_rows.append(vj)
-            if union:
-                out_t_rows.append(tj)
-        out_c = jnp.stack(out_c_rows)
-        out_v = jnp.stack(out_v_rows)
-        out_t = jnp.stack(out_t_rows) if union else None
+    # compact kept entries to the top slots per column with ONE stable
+    # sort by output position (dropped entries key = m2, sinking below
+    # every kept pos; their payloads are zeroed first, preserving the
+    # c = 0 / v = 0 padding contract).  A lane-axis scatter
+    # (.at[pos, ci].add) is pathological on TPU (measured 228 ms +
+    # 11 s compile at (10, 10⁶)); the previous per-output-slot select
+    # unroll was O(m2²) fused vector ops and its m2 > 24 one-hot 3D
+    # fallback cost ~GBs of HBM traffic at coarse-level widths (m2 = 68
+    # at n = 105k — measured the dominant slice of csky3d(80)'s warm
+    # setup device time), while the sort is O(log² m2) compare layers
+    # (~1 ms at (28, 320k)).
+    keep_s = jnp.stack(keep_rows)
+    key = jnp.where(keep_s, jnp.stack(pos_rows), m2).astype(jnp.int32)
+    zc = jnp.where(keep_s, jnp.stack(c_rows), 0)
+    zv = jnp.where(keep_s, jnp.stack(merged_v), 0.0)
+    if union:
+        zt = jnp.where(keep_s, jnp.stack(merged_t), 0.0)
+        _, out_c, out_v, out_t = jax.lax.sort(
+            (key, zc, zv, zt), dimension=0, num_keys=1)
     else:
-        # tail shapes (m2 = 64, n = 32768): the one-hot 3D select stays
-        # small and avoids an O(m2²) unrolled graph
-        cand_cs = jnp.stack(c_rows)
-        mv = jnp.stack(merged_v)
-        keep = jnp.stack(keep_rows)
-        pos = jnp.stack(pos_rows)
-        safe_pos = jnp.where(keep, pos, m2)
-        sel = safe_pos[None, :, :] == jax.lax.broadcasted_iota(
-            jnp.int32, (m2, m2, cand_cs.shape[1]), 0)
-        out_c = jnp.sum(jnp.where(sel, cand_cs[None], 0), axis=1,
-                        dtype=jnp.int32)
-        out_v = jnp.sum(jnp.where(sel, mv[None], 0.0), axis=1,
-                        dtype=mv.dtype)
-        out_t = jnp.sum(jnp.where(sel, jnp.stack(merged_t)[None], 0.0),
-                        axis=1, dtype=mv.dtype) if union else None
+        _, out_c, out_v = jax.lax.sort((key, zc, zv), dimension=0,
+                                       num_keys=1)
+        out_t = None
     head = jnp.stack([jnp.sum(rownnz), jnp.max(rownnz)]).astype(jnp.int32)
     # the coarse operator's own window-plan min/max per 1024-row tile
     # (identity-covered), packed into the same readback

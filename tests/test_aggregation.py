@@ -590,6 +590,62 @@ class TestSetupLadder:
         finally:
             gp.INTERPRET = old
 
+    def test_chain_program_matches_per_round_replay(self, tmp_path,
+                                                    monkeypatch):
+        """The one-dispatch ladder-chain program must reproduce the
+        per-round replay bitwise (labels, level arrays) and emit packed
+        scalars that pass the ladder validation."""
+        from multigridsolver_tpu.ops import gather_pallas as gp
+        from multigridsolver_tpu.setup import aggregation as agg
+        monkeypatch.setenv("MGS_CACHE_DIR", str(tmp_path))
+        monkeypatch.setattr(agg, "_LADDER", {})
+        monkeypatch.setattr(agg, "_LADDER_LOADED", False)
+        monkeypatch.setattr(agg, "_ROUND_TUNE", {})
+        monkeypatch.setattr(agg, "_TUNE_LOADED", False)
+        old = gp.INTERPRET
+        gp.INTERPRET = True
+        try:
+            ell = self._poisson_ell()
+            cfg = HierarchyConfig(
+                max_coarse_size=512,
+                aggregation=AggregationConfig(ktg=10.0, npass=2, tou=8.0,
+                                              symmetric=True))
+            agg.build_amg_setup(ell, cfg)             # records + tunes
+            (lkey, lad), = agg._LADDER.items()
+            sb = agg._chain_spec(ell, cfg.aggregation, lad["rounds"])
+            assert sb is not None, "chain spec must build after cold run"
+            spec, bases = sb
+            stat_t = tuple(sorted(agg._fused_stat(
+                cfg.aggregation).items()))
+            labels_t, levels_t, packed = agg._chain_program(
+                ell, bases, stat_t=stat_t, spec=spec)
+            s2 = agg.build_amg_setup(ell, cfg)        # per-round replay
+            for i in range(len(spec)):
+                np.testing.assert_array_equal(
+                    np.asarray(labels_t[i]),
+                    np.asarray(s2.level_labels[i]))
+                m = s2.matrices[1 + i]
+                sc, sv, srn, svt = levels_t[i]
+                np.testing.assert_array_equal(np.asarray(sc),
+                                              np.asarray(m.cols))
+                np.testing.assert_array_equal(np.asarray(sv),
+                                              np.asarray(m.vals))
+                np.testing.assert_array_equal(np.asarray(srn),
+                                              np.asarray(m.rownnz))
+                if svt is not None:
+                    np.testing.assert_array_equal(np.asarray(svt),
+                                                  np.asarray(m.vals_t))
+            arr = np.asarray(packed)
+            off = 0
+            for i, sp_ in enumerate(spec):
+                ntf, ntb = sp_[0] // 1024, sp_[2] // 1024
+                seg = arr[off: off + 10 + 2 * ntf + 6 * ntb]
+                assert agg._validate_pending(
+                    (seg, ntf, ntb, lad["rounds"][i]))
+                off += 10 + 2 * ntf + 6 * ntb
+        finally:
+            gp.INTERPRET = old
+
     def test_multi_tail_entry_batches_and_save_gating(self, tmp_path,
                                                       monkeypatch):
         """Deep hierarchies enter the tail more than once (ADVICE r4
