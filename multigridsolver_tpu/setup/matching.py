@@ -129,15 +129,33 @@ def mutual_match(a: ELL, strength: StrengthData,
         return st["again"] & (st["round"] < max_rounds)
 
     ehash = _edge_hash(a)        # loop-invariant, hoisted
+    # roll-eligible operators check mutuality SLOT-WISE: pp[s, i] =
+    # prop[cols[s, i]] is cols-structured, so it rides the K shifted
+    # loads + narrow rank patch instead of a wide windowed gather at
+    # idx = prop (whose targets span the full stencil spread).  prop[i]
+    # is always one of row i's stored columns (or -1), so
+    # ∃s: cols[s,i] = prop[i] ∧ pp[s,i] = i  ⟺  prop[prop[i]] = i.
+    slotwise = (getattr(a, "roll_offsets", None) is not None
+                and a.shard is None)
+    if slotwise:
+        slot_ok = (jax.lax.broadcasted_iota(jnp.int32,
+                                            (a.k, npad), 0)
+                   < a.rownnz[None, :])
 
     def body(st):
         prop = _best_neighbor(a, strength.mu, strength.allowed,
                               st["avail"], ehash=ehash)
         # mutual acceptance.  prop values are stored columns (or -1 → 0),
         # both covered by a's window plan (identity included)
-        prop_of_prop = ops.take_neighbor(a, prop,
-                                         idx=jnp.maximum(prop, 0))
-        mutual = (prop >= 0) & (prop_of_prop == nodes)
+        if slotwise:
+            pp = ops.take_neighbor(a, prop)
+            hit = slot_ok & (a.cols == prop[None, :]) \
+                & (pp == nodes[None, :])
+            mutual = (prop >= 0) & jnp.any(hit, axis=0)
+        else:
+            prop_of_prop = ops.take_neighbor(a, prop,
+                                             idx=jnp.maximum(prop, 0))
+            mutual = (prop >= 0) & (prop_of_prop == nodes)
         paired = jnp.where(mutual & st["avail"], prop, st["paired"])
         avail = st["avail"] & ~mutual
         # nodes with no proposal left will never match: close them out as

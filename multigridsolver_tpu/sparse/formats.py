@@ -72,30 +72,41 @@ def with_host_plan(ell: "ELL", cols_np: np.ndarray,
         return dataclasses.replace(
             ell, base_blk=jnp.asarray(base), wr=wr, nsrc=nsrc,
             roll_offsets=offs,
-            roll_ov=tuple(jnp.asarray(v) for v in ov))
+            roll_ov=(tuple(jnp.asarray(v) for v in ov)
+                     if ov is not None else None))
     return dataclasses.replace(ell, base_blk=jnp.asarray(base), wr=wr,
                                nsrc=nsrc)
 
 
 def _roll_plan(cols_np: np.ndarray, rownnz_np: np.ndarray,
-               max_mismatch: float = 0.02):
-    """Detect per-slot uniform column offsets (cols[s, i] == i + d_s).
+               scatter_cap: int = 8192, max_deltas: int = 8):
+    """Detect the multi-delta roll structure of a stencil-like pattern.
 
-    Returns (offsets tuple, (ov_slot, ov_row, ov_col) int32 patch
-    arrays) when ≥ (1 − max_mismatch) of valid entries are uniform —
-    measured 99.95 % on poisson stencils at the finest level, ~15 % on
-    coarse operators (which therefore keep the windowed-gather path).
-    Patch padding points at (slot 0, row 0)'s own stored column so the
-    padded scatter rewrites that entry with its already-correct value.
+    Per-slot dominant column offsets d_s (cols[s, i] == i + d_s) plus
+    the SET D = {d_s} of distinct deltas.  An entry CONFORMS when its
+    delta is ANY member of D, not just its own slot's mode: stencil
+    boundary rows pack the same offsets at shifted slot positions, so
+    per-slot mismatches are overwhelmingly other slots' modes —
+    csky3d(80) has 3.2 % of entries off their own slot's mode but ZERO
+    off the set (same for every poisson size).  take_neighbor then
+    reads neighbour fields as |D| shifted loads + a K × |D| fused
+    compare-select chain — ~10x cheaper than the windowed gather, whose
+    unrolled in-window select chain costs ∝ wr (the 3D stencils force
+    wr ≥ 64: the ±n² z-neighbour IS the window spread).
+
+    Residual entries (delta ∉ D) get the (ov_slot, ov_row, ov_col)
+    scatter patch; TPU scatters serialise (~12 ns/update), so plans with
+    more than ``scatter_cap`` residuals are rejected (windowed path).
+    Returns (offsets tuple, patch arrays | None) — patch None when the
+    delta set covers everything.
     """
     K, npad = cols_np.shape
     valid = np.arange(K)[:, None] < rownnz_np[None, :]
     nval = int(valid.sum())
-    if nval == 0:
+    if nval == 0 or npad % 1024:
         return None
     offs = cols_np - np.arange(npad)[None, :]
     ds = np.zeros(K, np.int64)
-    mism = np.zeros_like(valid)
     for s in range(K):
         v = valid[s]
         if not v.any():
@@ -103,19 +114,31 @@ def _roll_plan(cols_np: np.ndarray, rownnz_np: np.ndarray,
         o = offs[s][v]
         vals, counts = np.unique(o, return_counts=True)
         ds[s] = vals[np.argmax(counts)]
-        mism[s] = v & (offs[s] != ds[s])
-    n_mis = int(mism.sum())
-    if n_mis > max_mismatch * nval:
+    uniq = sorted({int(d) for d in ds})
+    if len(uniq) > max_deltas:
         return None
-    sl, rw = np.nonzero(mism)
-    cap = max(-(-max(n_mis, 1) // 1024) * 1024, 1024)
+    match = np.zeros_like(valid)
+    for d in uniq:
+        match |= offs == d
+    res = valid & ~match
+    n_res = int(res.sum())
+    # absolute cap bounds the serialised TPU scatter; the relative cap
+    # rejects patterns that aren't actually stencil-like (a random
+    # matrix's "modes" cover almost nothing)
+    if n_res > min(scatter_cap, 0.05 * nval):
+        return None
+    offs_t = tuple(int(d) for d in ds)
+    if n_res == 0:
+        return offs_t, None
+    sl, rw = np.nonzero(res)
+    cap = max(-(-n_res // 1024) * 1024, 1024)
     ov_s = np.zeros(cap, np.int32)
     ov_r = np.zeros(cap, np.int32)
     ov_c = np.full(cap, int(cols_np[0, 0]), np.int32)
-    ov_s[:n_mis] = sl
-    ov_r[:n_mis] = rw
-    ov_c[:n_mis] = cols_np[sl, rw]
-    return tuple(int(d) for d in ds), (ov_s, ov_r, ov_c)
+    ov_s[:n_res] = sl
+    ov_r[:n_res] = rw
+    ov_c[:n_res] = cols_np[sl, rw]
+    return offs_t, (ov_s, ov_r, ov_c)
 
 
 def with_device_plan(ell: "ELL") -> "ELL":

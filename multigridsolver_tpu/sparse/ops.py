@@ -58,10 +58,30 @@ def take_neighbor(a: ELL, x: jnp.ndarray,
                 xb = jnp.pad(xb, (0, a.npad - xb.shape[0]))
             elif xb.shape[0] > a.npad:
                 xb = xb[: a.npad]
-            out = jnp.stack([jnp.roll(xb, -d) for d in a.roll_offsets])
-            ov_s, ov_r, ov_c = a.roll_ov
-            out = out.at[ov_s, ov_r].set(xb[ov_c],
-                                         mode="promise_in_bounds")
+            # multi-delta roll: entries off their own slot's mode delta
+            # are overwhelmingly at ANOTHER slot's mode (boundary rows
+            # pack the same stencil offsets at shifted slot positions),
+            # so slot s selects per-lane among the |D| shared shifted
+            # loads by comparing its actual delta — a K × |D| fused
+            # VPU chain, no gather of any kind
+            uniq = sorted(set(a.roll_offsets))
+            rolls = {d: jnp.roll(xb, -d) for d in uniq}
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, a.npad),
+                                            1)[0]
+            outs = []
+            for s, dm in enumerate(a.roll_offsets):
+                o = rolls[dm]
+                if len(uniq) > 1:
+                    delta_s = a.cols[s] - rows
+                    for d in uniq:
+                        if d != dm:
+                            o = jnp.where(delta_s == d, rolls[d], o)
+                outs.append(o)
+            out = jnp.stack(outs)
+            if a.roll_ov is not None:    # residual deltas: tiny scatter
+                ov_s, ov_r, ov_c = a.roll_ov
+                out = out.at[ov_s, ov_r].set(xb[ov_c],
+                                             mode="promise_in_bounds")
             return out != 0 if x.dtype == jnp.bool_ else out
         idx = a.cols
     if a.base_blk is None:

@@ -127,10 +127,11 @@ class TestRollPlan:
         cols[:, :] = np.asarray(ell.cols)
         plan = _roll_plan(cols, np.asarray(ell.rownnz))
         assert plan is not None
-        offs, (ov_s, ov_r, ov_c) = plan
+        offs, ov = plan
         assert offs == (-120, -1, 0, 1, 120)
-        # patch entries must point at real stored columns
-        assert (ov_c >= 0).all()
+        # boundary-row mismatches all land on other slots' modes:
+        # the delta SET covers everything, no residual patch
+        assert ov is None
 
     def test_detection_rejects_random(self):
         from multigridsolver_tpu.sparse.formats import _roll_plan
@@ -165,3 +166,59 @@ class TestRollPlan:
             assert (np.asarray(ob)[valid] == np.asarray(refb)[valid]).all()
         finally:
             gp.INTERPRET = old
+
+    def test_multidelta_parity_on_shifted_packing(self):
+        """csky3d-style patterns pack the same stencil offsets at
+        SHIFTED slot positions on boundary rows (3 % of entries off
+        their own slot's mode, zero off the delta set): the multi-delta
+        select must reproduce the plain gather on every valid slot."""
+        from multigridsolver_tpu.cli.generators import csky3d
+        from multigridsolver_tpu.ops import gather_pallas as gp
+        from multigridsolver_tpu.sparse import ops
+        from multigridsolver_tpu.sparse.formats import _roll_plan
+        old = gp.INTERPRET
+        gp.INTERPRET = True
+        try:
+            ell = csky3d(16).to_ell(dtype=jnp.float32,
+                                    with_transpose=True)
+            assert ell.roll_offsets is not None
+            assert ell.roll_ov is None       # delta set covers all
+            assert len(set(ell.roll_offsets)) == 7
+            rn = np.asarray(ell.rownnz)
+            # shifted-packing rows must exist (slot 0 ≠ its mode)
+            delta0 = np.asarray(ell.cols)[0] - np.arange(ell.npad)
+            assert ((delta0 != ell.roll_offsets[0])
+                    & (rn > 0)).any()
+            rs = np.random.RandomState(1)
+            x = jnp.asarray(rs.rand(ell.npad).astype(np.float32))
+            out = ops.take_neighbor(ell, x)
+            ref = jnp.take(x, ell.cols, axis=0)
+            valid = (np.arange(ell.k)[:, None] < rn[None, :])
+            np.testing.assert_allclose(np.asarray(out)[valid],
+                                       np.asarray(ref)[valid])
+            xi = jnp.asarray(rs.randint(0, 99, ell.npad)
+                             .astype(np.int32))
+            oi = ops.take_neighbor(ell, xi)
+            ri = jnp.take(xi, ell.cols, axis=0)
+            assert (np.asarray(oi)[valid] == np.asarray(ri)[valid]).all()
+        finally:
+            gp.INTERPRET = old
+
+    def test_residual_scatter_patch(self):
+        """Entries whose delta matches NO slot mode fall to the scatter
+        patch; more than scatter_cap of them rejects the plan."""
+        from multigridsolver_tpu.sparse.formats import _roll_plan
+        a = self._stencil(120)
+        ell = a.to_ell(dtype=jnp.float32)
+        cols = np.asarray(ell.cols).copy()
+        rn = np.asarray(ell.rownnz)
+        rs = np.random.RandomState(2)
+        rows = rs.choice(np.nonzero(rn >= 3)[0], size=300,
+                         replace=False)
+        cols[1, rows] = np.clip(rows + 7, 0, ell.ncols - 1)   # delta 7
+        plan = _roll_plan(cols, rn)
+        assert plan is not None and plan[1] is not None
+        ov_s, ov_r, ov_c = plan[1]
+        assert set(np.asarray(ov_r)[:300]) == set(rows)
+        # beyond the cap: rejected
+        assert _roll_plan(cols, rn, scatter_cap=100) is None
