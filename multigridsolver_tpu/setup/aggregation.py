@@ -218,18 +218,35 @@ def _tune_path():
     return os.path.expanduser(base) + "/round_tune.json"
 
 
+def _warmset_path(name: str) -> str:
+    """Shipped warm-set twin of a cache file: recorded round structure
+    and tuned widths for the standard benchmark family (poisson sizes,
+    csky3d sizes).  Ladder records and tunes are matrix-determined, not
+    machine-determined, so a FRESH machine that ships them knows every
+    level's program shapes at t=0 — all fused-round compiles launch
+    concurrently instead of serially round-by-round (the dominant cost
+    of a true-cold setup: shapes only become known per-round through
+    each round's readback when no ladder exists)."""
+    import os
+    if os.environ.get("MGS_NO_WARMSET") == "1":
+        return ""
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "warmset", name)
+
+
 def _tune_load() -> None:
     global _TUNE_LOADED
     if _TUNE_LOADED:
         return
     _TUNE_LOADED = True
     import json, os
-    try:
-        with open(_tune_path()) as f:
-            for k, v in json.load(f).items():
-                _ROUND_TUNE[tuple(json.loads(k))] = v
-    except (OSError, ValueError):
-        pass
+    for path in (_warmset_path("round_tune.json"), _tune_path()):
+        try:
+            with open(path) as f:
+                for k, v in json.load(f).items():
+                    _ROUND_TUNE[tuple(json.loads(k))] = v
+        except (OSError, ValueError):
+            pass
 
 
 def _tune_save() -> None:
@@ -406,11 +423,14 @@ def _ladder_load() -> None:
         return
     _LADDER_LOADED = True
     import json
-    try:
-        with open(_ladder_file()) as f:
-            _LADDER.update(json.load(f))
-    except (OSError, ValueError):
-        pass
+    # shipped warm set first, live cache second (live entries win) —
+    # see _warmset_path
+    for path in (_warmset_path("setup_ladder.json"), _ladder_file()):
+        try:
+            with open(path) as f:
+                _LADDER.update(json.load(f))
+        except (OSError, ValueError):
+            pass
 
 
 def _ladder_save() -> None:
@@ -506,9 +526,11 @@ def _chain_spec(a: ELL, cfg: AggregationConfig, recs: list):
     tuned widths of EVERY intermediate shape (first-encounter
     conservative widths would make the giant program a throwaway
     compile) and the recorded window plan of every non-final level (the
-    next round's gathers ride it).  Returns (spec, bases) or None when
-    fewer than 2 rounds chain."""
-    if a.base_blk is None or a.wr is None:
+    next round's gathers ride it).  Sharded operators keep the
+    per-round plan-free replay (the chain would rebuild mid-levels
+    without their shard/halo metadata).  Returns (spec, bases) or None
+    when no round chains."""
+    if a.base_blk is None or a.wr is None or a.shard is not None:
         return None
     specs: list = []
     bases: list = []
@@ -548,10 +570,11 @@ def _chain_program(mat: ELL, bases, stat_t, spec):
     next round, for the whole ladder prefix.
 
     The per-round replay already had zero blocking readbacks, but each
-    round still cost 2 program dispatches (round + slice) and the
-    tunnel charges ~25-30 ms of launch latency per program — measured
-    ~90 % of the whole warm csky3d(80) setup (device compute for ALL
-    rounds is ~50 ms; wall was 0.29 s over ~10 dispatches).  Chaining is
+    round still cost 2 program dispatches (round + slice) plus
+    ~25-30 ms of tunnel launch latency per program; the chain removes
+    every per-round host round-trip, leaving the warm setup wall equal
+    to device compute + ONE validation readback (csky3d(80): ~230 ms
+    device — see ROADMAP's measured breakdown — + ~30 ms).  Chaining is
     only possible on replay, where the ladder record supplies every
     intermediate shape statically.  Compiled in the background
     (deferred warm, like the single-round programs) and dispatched only
@@ -582,6 +605,39 @@ def _chain_program(mat: ELL, bases, stat_t, spec):
                       wr=pwr if has_plan else None,
                       nsrc=pnsrc if has_plan else None, vals_t=svt)
     return tuple(labels_out), tuple(levels_out), _concat_packed(*packeds)
+
+
+def _prewarm_from_ladder(a: ELL, cfg: AggregationConfig,
+                         recs: list) -> None:
+    """Cold start with a KNOWN ladder (live cache or the shipped warm
+    set): launch every round's program compiles concurrently at t=0.
+    A ladder-less cold run discovers each round's shapes only through
+    the previous round's readback, so its compiles serialise
+    round-by-round — the dominant true-cold cost (measured ~29 s setup
+    compile on poisson1000, ≈ Σ per-round max-compile)."""
+    from ..ops import gather_pallas as gp
+    if gp.INTERPRET:
+        return
+    sb = _chain_spec(a, cfg, recs)
+    if sb is None:
+        return
+    spec, bases = sb
+    stat = _fused_stat(cfg)
+    sd = jax.ShapeDtypeStruct
+    dt = a.vals.dtype
+    cur = pool.abstract_of(a)
+    for i, (npad_i, wr_g, ncb, wr_c1, nsrc_c1, wr_g2, passes, kc,
+            nc_pad, nc_true, has_plan, pwr, pnsrc) in enumerate(spec):
+        _warm_fused_round(cur, stat, wr_g, ncb, wr_c1, nsrc_c1, wr_g2)
+        if not has_plan or i + 1 >= len(spec):
+            break
+        gv = sd((kc, nc_pad), dt)
+        cur = ELL(cols=sd((kc, nc_pad), jnp.int32), vals=gv,
+                  rownnz=sd((nc_pad,), jnp.int32), nrows=nc_true,
+                  ncols=nc_true,
+                  base_blk=sd(bases[i].shape, jnp.int32),
+                  wr=pwr, nsrc=pnsrc,
+                  vals_t=gv if a.vals_t is not None else None)
 
 
 def _replay_chain(a: ELL, cfg: AggregationConfig, recs: list):
@@ -1498,6 +1554,7 @@ def build_amg_setup(a: ELL, cfg: HierarchyConfig,
                 nnz0_dev.copy_to_host_async()
             except Exception:
                 pass
+            _prewarm_from_ladder(a, cfg.aggregation, ladder["rounds"])
     _timer = timer or PhaseTimer(enabled=False)
     if ladder and _use_single_round():
         # one-dispatch replay of the whole plan-round prefix (compiled

