@@ -118,8 +118,8 @@ def main():
         from multigridsolver_tpu.io import read_mtx
         from multigridsolver_tpu.cli.generators import csky3d
         for n in (10, 20, 30):
-            path = f"/root/reference/matrices/CSky3d{n}.mtx"
-            a = (read_mtx(path) if os.path.exists(path) else csky3d(n))
+            mtx = f"/root/reference/matrices/CSky3d{n}.mtx"
+            a = (read_mtx(mtx) if os.path.exists(mtx) else csky3d(n))
             if hasattr(a, "to_csr"):
                 a = a.to_csr()
             results[f"CSky3d{n}"] = run(
