@@ -52,6 +52,9 @@ class TestRoundTune:
     def test_tune_roundtrip(self, tmp_path, monkeypatch):
         from multigridsolver_tpu.setup import aggregation as agg
         monkeypatch.setenv("MGS_CACHE_DIR", str(tmp_path))
+        # exclude the shipped warm-set tunes: this test round-trips the
+        # machine-local store only
+        monkeypatch.setenv("MGS_NO_WARMSET", "1")
         monkeypatch.setattr(agg, "_ROUND_TUNE", {})
         monkeypatch.setattr(agg, "_TUNE_LOADED", False)
         agg._ROUND_TUNE[(1024, 5, 16, 1024)] = {"wr_g": 32, "wr_c1": 24,

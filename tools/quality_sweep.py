@@ -114,6 +114,10 @@ def main():
             results = json.load(f)
     except (OSError, ValueError):
         pass
+    def save():
+        with open(path, "w") as f:     # incremental: a timeout mid-sweep
+            json.dump(results, f, indent=2)   # keeps completed shapes
+
     if "small" in which:
         from multigridsolver_tpu.io import read_mtx
         from multigridsolver_tpu.cli.generators import csky3d
@@ -126,21 +130,23 @@ def main():
                 f"CSky3d{n}", a,
                 a.to_ell(dtype=jnp.float32, with_transpose=True),
                 False, rs)
+            save()
         a = poisson(100)
         results["poisson100"] = run(
             "poisson100", a, a.to_ell(dtype=jnp.float32), True, rs)
+        save()
     if "p1000" in which:
         a = poisson(1000)
         results["poisson1000"] = run(
             "poisson1000", a, a.to_ell(dtype=jnp.float32), True, rs)
+        save()
     if "sky80" in which:
         from multigridsolver_tpu.cli.generators import csky3d
         a = csky3d(80)
         results["csky3d80"] = run(
             "csky3d80", a, a.to_ell(dtype=jnp.float32,
                                     with_transpose=True), False, rs)
-    with open(path, "w") as f:
-        json.dump(results, f, indent=2)
+        save()
     print(json.dumps(results, indent=2))
 
 
